@@ -1,0 +1,261 @@
+"""CLI overlay + experiment-dir layout + process bootstrap.
+
+Behavioral parity with /root/reference/dlib/utils/utils_parser.py
+(`get_args`:93, `outfd`:1197, `parse_input`:1331), redesigned: instead of one
+hand-written argparse entry per config key, flags are auto-generated from the
+config dict (same flag surface, including nested `netG`/`train` keys),
+then overlaid back into the nested dicts.
+"""
+import argparse
+import datetime as dt
+import os
+import sys
+import yaml
+from typing import Any, Dict, Optional, Tuple
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.config.defaults import get_config
+
+
+class Dict2Obj:
+    """Attribute access over a (nested) dict; reference analog in
+    dlib/utils/tools.py (Dict2Obj)."""
+
+    def __init__(self, d: dict):
+        self.__dict__['_d'] = dict(d)
+
+    def __getattr__(self, k):
+        try:
+            v = self.__dict__['_d'][k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        if isinstance(v, dict):
+            return Dict2Obj(v)
+        return v
+
+    def __setattr__(self, k, v):
+        self.__dict__['_d'][k] = v
+
+    def __contains__(self, k):
+        return k in self.__dict__['_d']
+
+    def to_dict(self) -> dict:
+        return self.__dict__['_d']
+
+    def __repr__(self):
+        return f'Dict2Obj({self._d!r})'
+
+
+def _str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('yes', 'true', 't', 'y', '1'):
+        return True
+    if v.lower() in ('no', 'false', 'f', 'n', '0'):
+        return False
+    raise argparse.ArgumentTypeError(f'Boolean value expected, got {v!r}.')
+
+
+_SKIP_FLAGS = {'fd_exp', 'abs_fd_exp', 't0', 'tend', 'running_time',
+               'multi_valid', 'is_master', 'is_node_master', 'rank',
+               'world_size', 'method'}
+
+
+def _add_flag(parser: argparse.ArgumentParser, name: str, default: Any):
+    if name in _SKIP_FLAGS:
+        return
+    if isinstance(default, bool):
+        parser.add_argument(f'--{name}', type=_str2bool, default=None)
+    elif isinstance(default, int):
+        parser.add_argument(f'--{name}', type=int, default=None)
+    elif isinstance(default, float):
+        parser.add_argument(f'--{name}', type=float, default=None)
+    elif isinstance(default, str) or default is None:
+        parser.add_argument(f'--{name}', type=str, default=None)
+    elif isinstance(default, (list, dict)):
+        # lists (milestones, depths, ...) passed as yaml strings.
+        parser.add_argument(f'--{name}', type=str, default=None)
+    else:
+        raise NotImplementedError(f'{name}: {type(default)}')
+
+
+def build_parser(config: dict) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog='srcaco2-tpu')
+    seen = set()
+    for k, v in config.items():
+        if k in ('netG', 'train'):
+            continue
+        _add_flag(parser, k, v)
+        seen.add(k)
+    for sub in ('netG', 'train'):
+        for k, v in config[sub].items():
+            if k in seen:
+                continue
+            _add_flag(parser, k, v)
+            seen.add(k)
+    return parser
+
+
+def _coerce(default: Any, raw: Any) -> Any:
+    if isinstance(default, (list, dict)) and isinstance(raw, str):
+        return yaml.safe_load(raw)
+    return raw
+
+
+def overlay(config: dict, cli: Dict[str, Any]) -> dict:
+    """Write parsed CLI values back into the nested config dict."""
+    for k, v in cli.items():
+        if v is None:
+            continue
+        if k in config and k not in ('netG', 'train'):
+            config[k] = _coerce(config[k], v)
+        elif k in config['netG']:
+            config['netG'][k] = _coerce(config['netG'][k], v)
+        elif k in config['train']:
+            config['train'][k] = _coerce(config['train'][k], v)
+    return config
+
+
+def _derive(config: dict) -> dict:
+    """Derived keys (reference: utils_parser.py:957-1040)."""
+    from srcaco2_tpu.config.net_defaults import safe_str_var
+    nt = config['netG']['net_type']
+    snt = safe_str_var(nt)
+    ng = config['netG']
+    if f'{snt}_upscale' in ng:
+        ng[f'{snt}_upscale'] = config['scale']
+    if f'{snt}_img_size' in ng:
+        ng[f'{snt}_img_size'] = config['h_size'] // config['scale']
+    if f'{snt}_in_chans' in ng:
+        ng[f'{snt}_in_chans'] = config['n_channels']
+    if f'{snt}_in_planes' in ng:
+        ng[f'{snt}_in_planes'] = config['n_channels']
+    config['method'] = constants.NETTYPE_METHOD[nt]
+    # multi-valid when several validation datasets.
+    vd = [s for s in str(config['valid_dsets']).split('+') if s]
+    config['multi_valid'] = len(vd) > 1
+    return config
+
+
+def _sanity(config: dict):
+    """Sanity asserts (reference: utils_parser.py:1106-1190)."""
+    assert config['task'] in constants.TASKS, config['task']
+    assert config['scale'] in constants.SCALES, config['scale']
+    assert config['h_size'] % config['scale'] == 0, \
+        (config['h_size'], config['scale'])
+    assert config['n_channels'] in (1, 3), config['n_channels']
+    assert config['netG']['net_type'] in constants.MODELS
+    assert 0. < config['train_n'] <= 1., config['train_n']
+    assert config['model_select_mtr'] in constants.METRICS
+    assert config['sample_tr_patch'] in constants.SAMPLE_PATCHES
+    tr = config['train']
+    assert tr['G_optimizer_type'] in constants.OPTIMIZERS
+    assert tr['G_scheduler_type'] in constants.STEPSLR
+    for key in ('checkpoint_eval', 'checkpoint_save'):
+        v = tr[key]
+        ok = (isinstance(v, int) and v > 0) or \
+             (isinstance(v, float) and 0. < v <= 1.)
+        assert ok, f'{key}={v}'
+    if config['ssim']:
+        assert config['ssim_window_s'] % 2 == 1, config['ssim_window_s']
+
+
+def outfd(config: dict, root: Optional[str] = None) -> str:
+    """Experiment directory naming (reference: utils_parser.py:1197):
+    exps/<debug_subfolder>/<task>/<net>/<train_dsets>/<tagged-id>."""
+    tag = [('id', config['exp_id']),
+           ('tsk', config['task']),
+           ('x', config['scale']),
+           ('netG', config['netG']['net_type']),
+           ('sd', config['myseed'])]
+    for loss_flag in ('l1', 'l2', 'l2sum', 'ssim', 'charbonnier'):
+        if config.get(loss_flag):
+            tag.append((loss_flag, 'yes'))
+    subpath = '-'.join(f'{k}_{v}' for k, v in tag)
+    parts = ['exps']
+    if config['debug_subfolder']:
+        parts.append(config['debug_subfolder'])
+    parts += [config['task'], config['netG']['net_type'],
+              config['train_dsets'] or 'none', subpath]
+    fd = os.path.join(*parts)
+    if root:
+        fd = os.path.join(root, fd)
+    return fd
+
+
+def _setup_process(config: dict) -> dict:
+    """TPU process bootstrap — replaces dist.init_process_group
+    (reference: utils_parser.py:1340-1360). Multi-host initialization goes
+    through jax.distributed; single-host meshes need nothing."""
+    import jax
+    if config['distributed'] and \
+            config['dist_backend'] == constants.BACKEND_MULTIHOST:
+        import jax.distributed as jdist
+        try:
+            jdist.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process run.
+    config['rank'] = jax.process_index()
+    config['world_size'] = jax.process_count()
+    config['is_master'] = config['rank'] == 0
+    config['is_node_master'] = config['is_master']
+    if config['mesh_data'] == -1:
+        config['mesh_data'] = max(
+            1, jax.device_count() // max(1, config['mesh_model']))
+    return config
+
+
+def get_args(argv=None, net_type: Optional[str] = None) -> dict:
+    """defaults -> per-net defaults -> CLI overlay -> derived -> sanity."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # pre-parse --net_type to pick per-net defaults
+    # (reference: utils_parser.py:1331).
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument('--net_type', type=str, default=None)
+    pre_ns, _ = pre.parse_known_args(argv)
+    nt = net_type or pre_ns.net_type or constants.SWINIR
+    config = get_config(nt)
+    parser = build_parser(config)
+    ns = parser.parse_args(argv)
+    config = overlay(config, vars(ns))
+    config = _derive(config)
+    _sanity(config)
+    return config
+
+
+def parse_input(argv=None, eval_mode: bool = False,
+                setup_process: bool = True
+                ) -> Tuple[Dict2Obj, dict]:
+    """Full bootstrap (reference: utils_parser.py:1331): parse, set up the
+    process/mesh, create the exp dir, dump config.yml + cmd.sh, init
+    logging. Returns (args_obj, args_dict)."""
+    config = get_args(argv)
+    if setup_process:
+        config = _setup_process(config)
+
+    root = config['data_root'] or os.getcwd()
+    fd = outfd(config)
+    config['fd_exp'] = fd
+    config['abs_fd_exp'] = os.path.abspath(os.path.join(os.getcwd(), fd))
+    config['t0'] = dt.datetime.now().isoformat()
+
+    if config['is_master'] and not eval_mode:
+        os.makedirs(config['abs_fd_exp'], exist_ok=True)
+        # 'already done' sentinel (reference: utils_parser.py:1063).
+        sentinel = os.path.join(config['abs_fd_exp'], 'passed.txt')
+        if os.path.isfile(sentinel):
+            print(f'Experiment already completed ({sentinel}); exiting.')
+            sys.exit(0)
+        with open(os.path.join(config['abs_fd_exp'], 'config.yml'),
+                  'w') as f:
+            yaml.safe_dump(config, f)
+        with open(os.path.join(config['abs_fd_exp'], 'cmd.sh'), 'w') as f:
+            f.write('#!/usr/bin/env bash\n')
+            f.write('python ' + ' '.join(sys.argv) + '\n')
+
+    from srcaco2_tpu.utils.logger import DLLogger
+    DLLogger.init(outdir=config['abs_fd_exp'],
+                  is_master=config['is_master'],
+                  verbose=config['verbose'])
+
+    return Dict2Obj(config), config
