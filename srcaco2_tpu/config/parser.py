@@ -61,10 +61,27 @@ _SKIP_FLAGS = {'fd_exp', 'abs_fd_exp', 't0', 'tend', 'running_time',
                'world_size', 'method'}
 
 
+def _int_or_float(v: str):
+    """int when integral, float otherwise (checkpoint_eval/save accept
+    iterations or an epoch fraction; sample_tr_patch_th may also be the
+    'automatic_threshold' sentinel string)."""
+    try:
+        f = float(v)
+    except ValueError:
+        return v
+    return int(f) if f == int(f) and '.' not in v else f
+
+
+_NUMERIC_FLAGS = {'checkpoint_eval', 'checkpoint_save',
+                  'sample_tr_patch_th'}
+
+
 def _add_flag(parser: argparse.ArgumentParser, name: str, default: Any):
     if name in _SKIP_FLAGS:
         return
-    if isinstance(default, bool):
+    if name in _NUMERIC_FLAGS:
+        parser.add_argument(f'--{name}', type=_int_or_float, default=None)
+    elif isinstance(default, bool):
         parser.add_argument(f'--{name}', type=_str2bool, default=None)
     elif isinstance(default, int):
         parser.add_argument(f'--{name}', type=int, default=None)

@@ -1,0 +1,144 @@
+"""Shared model building blocks (flax.linen, NHWC internals).
+
+The reference duplicates MeanShift/ResBlock/Upsampler/default_conv across
+network files (e.g. network_nlsn.py:38-130); here they are unified. All
+models take NCHW batches at the API boundary (reference dict layout) and
+compute in NHWC, the TPU-native conv layout.
+"""
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def nchw_to_nhwc(x):
+    return x.transpose(0, 2, 3, 1)
+
+
+def nhwc_to_nchw(x):
+    return x.transpose(0, 3, 1, 2)
+
+
+class Conv(nn.Module):
+    """3x3-style conv with 'SAME' torch-like padding."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(
+        1.0, 'fan_in', 'uniform')  # torch Conv2d default (kaiming-uniform)
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride),
+                       padding=[(pad, pad), (pad, pad)],
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       kernel_init=self.kernel_init)(x)
+
+
+class MeanShift(nn.Module):
+    """Subtract/add a fixed channel mean scaled by img_range (EDSR-family
+    preprocessing)."""
+    rgb_mean: Sequence[float]
+    sign: float = -1.0
+    img_range: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.asarray(self.rgb_mean, x.dtype) * self.img_range
+        return x + self.sign * mean
+
+
+class ResBlock(nn.Module):
+    """conv-act-conv with residual scaling (EDSR-style)."""
+    features: int
+    kernel: int = 3
+    res_scale: float = 1.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv(self.features, self.kernel, use_bias=self.use_bias,
+                 dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = Conv(self.features, self.kernel, use_bias=self.use_bias,
+                 dtype=self.dtype)(h)
+        return x + h * self.res_scale
+
+
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """Depth-to-space on NHWC: (B,H,W,C*r^2) -> (B,H*r,W*r,C).
+
+    Channel order matches torch.nn.PixelShuffle: input channel index
+    c*r^2 + dy*r + dx maps to output channel c at spatial offset (dy,dx).
+    """
+    b, h, w, c = x.shape
+    r = factor
+    oc = c // (r * r)
+    x = x.reshape(b, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)       # b, h, r, w, r, oc
+    return x.reshape(b, h * r, w * r, oc)
+
+
+class Upsampler(nn.Module):
+    """Pixel-shuffle upsampler: xN in factor-of-2 steps (or one x3 step)."""
+    scale: int
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.scale
+        if s == 1:
+            return x
+        if (s & (s - 1)) == 0:  # power of two
+            steps = s.bit_length() - 1
+            for _ in range(steps):
+                x = Conv(4 * self.features, 3, dtype=self.dtype)(x)
+                x = pixel_shuffle(x, 2)
+            return x
+        if s == 3:
+            x = Conv(9 * self.features, 3, dtype=self.dtype)(x)
+            return pixel_shuffle(x, 3)
+        raise NotImplementedError(s)
+
+
+class UpsamplerDirect(nn.Module):
+    """One-step conv -> pixel-shuffle straight to out_chans (SwinIR's
+    'pixelshuffledirect', lightweight)."""
+    scale: int
+    out_chans: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.out_chans * self.scale ** 2, 3, dtype=self.dtype)(x)
+        return pixel_shuffle(x, self.scale)
+
+
+def bicubic_up(x_nchw: jax.Array, scale: int, clip: bool = True):
+    """Internal bicubic pre-upsampling used by VDSR/DRRN/MemNet
+    (torch F.interpolate parity)."""
+    from srcaco2_tpu.ops.resize import resize2d
+    h, w = x_nchw.shape[-2], x_nchw.shape[-1]
+    y = resize2d(x_nchw, (h * scale, w * scale))
+    return jnp.clip(y, 0.0, 1.0) if clip else y
+
+
+class ConvReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(Conv(self.features, self.kernel,
+                            use_bias=self.use_bias, dtype=self.dtype)(x))

@@ -1,0 +1,159 @@
+"""Pre-upsampling CNN family: SRCNN, VDSR, DRRN, MemNet.
+
+Capability parity with the reference zoo (network_srcnn.py:23,
+network_vdsr.py:37, network_drrn.py:46, network_memnet.py:80). Each model
+returns a dict: {'out': NCHW prediction, and optional 'x_interp' /
+'global_residual' for residual-based losses}.
+"""
+import math
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from srcaco2_tpu.models.blocks import (Conv, ConvReLU, bicubic_up,
+                                       nchw_to_nhwc, nhwc_to_nchw)
+
+Dtype = Any
+
+
+class SRCNN(nn.Module):
+    """3-layer mapping CNN on the bicubically pre-upscaled input
+    (reference: network_srcnn.py:23 — conv5x5/1024, conv1x1/128,
+    conv1x1/C; consumes l_to_h_img per model_plain.py:196)."""
+    in_chans: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nchw_to_nhwc(x)
+        # feature std: sqrt(2 / (out_c * k*k)) normal, recon layer std 1e-3
+        def gauss(std):
+            return nn.initializers.normal(stddev=std)
+        y = nn.Conv(1024, (5, 5), padding=[(2, 2), (2, 2)],
+                    dtype=self.dtype,
+                    kernel_init=gauss(math.sqrt(2 / (1024 * 25))))(y)
+        y = nn.relu(y)
+        y = nn.Conv(128, (1, 1), dtype=self.dtype,
+                    kernel_init=gauss(math.sqrt(2 / 128)))(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.in_chans, (1, 1), dtype=self.dtype,
+                    kernel_init=gauss(1e-3))(y)
+        return {'out': nhwc_to_nchw(y)}
+
+
+class VDSR(nn.Module):
+    """Very deep (20-conv) residual CNN with internal bicubic upscale
+    (reference: network_vdsr.py:37). Exposes x_interp and global_residual
+    for `use_residuals` losses (loss/core.py:108)."""
+    in_chans: int = 1
+    upscale: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_up = bicubic_up(x, self.upscale)
+        y = nchw_to_nhwc(x_up)
+        # kaiming-normal fan_out like the reference init
+        kinit = nn.initializers.variance_scaling(2.0, 'fan_out',
+                                                 'truncated_normal')
+        y = nn.relu(nn.Conv(64, (3, 3), use_bias=False, dtype=self.dtype,
+                            kernel_init=kinit)(y))
+        for _ in range(18):
+            y = nn.relu(nn.Conv(64, (3, 3), use_bias=False,
+                                dtype=self.dtype, kernel_init=kinit)(y))
+        y = nn.Conv(self.in_chans, (3, 3), use_bias=False,
+                    dtype=self.dtype, kernel_init=kinit)(y)
+        res = nhwc_to_nchw(y)
+        return {'out': x_up + res, 'x_interp': x_up,
+                'global_residual': res}
+
+
+class DRRN(nn.Module):
+    """Deep recursive residual network: one recursive residual unit
+    applied num_residual_units times with shared weights, internal
+    bicubic upscale (reference: network_drrn.py:46)."""
+    in_chans: int = 1
+    upscale: int = 2
+    num_residual_units: int = 25
+    features: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_up = bicubic_up(x, self.upscale)
+        inp = nchw_to_nhwc(x_up)
+        kinit = nn.initializers.variance_scaling(2.0, 'fan_out',
+                                                 'truncated_normal')
+        h0 = nn.Conv(self.features, (3, 3), use_bias=False,
+                     dtype=self.dtype, kernel_init=kinit)(nn.relu(inp))
+        # shared-weight recursive unit: two pre-activation convs.
+        conv1 = nn.Conv(self.features, (3, 3), use_bias=False,
+                        dtype=self.dtype, kernel_init=kinit, name='rec1')
+        conv2 = nn.Conv(self.features, (3, 3), use_bias=False,
+                        dtype=self.dtype, kernel_init=kinit, name='rec2')
+        h = h0
+        for _ in range(self.num_residual_units):
+            z = conv1(nn.relu(h))
+            z = conv2(nn.relu(z))
+            h = h0 + z
+        out = nn.Conv(self.in_chans, (3, 3), use_bias=False,
+                      dtype=self.dtype, kernel_init=kinit)(nn.relu(h))
+        res = nhwc_to_nchw(out)
+        return {'out': x_up + res, 'x_interp': x_up,
+                'global_residual': res}
+
+
+class _MemoryBlock(nn.Module):
+    """MemNet memory block: R recursive residual units (shared recursive
+    weights inside the block) + gate conv fusing all unit outputs with the
+    long-term memories."""
+    features: int
+    num_resblocks: int
+    n_memories: int          # number of long-term memory inputs
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, long_term):
+        # recursive unit (shared weights within the block)
+        b1 = nn.Sequential([nn.relu, Conv(self.features, 3,
+                                          dtype=self.dtype)])
+        b2 = nn.Sequential([nn.relu, Conv(self.features, 3,
+                                          dtype=self.dtype)])
+        outs = []
+        h = x
+        for _ in range(self.num_resblocks):
+            h = x + b2(b1(h))
+            outs.append(h)
+        gate_in = jnp.concatenate(outs + long_term, axis=-1)
+        gate = nn.Conv(self.features, (1, 1), dtype=self.dtype)(
+            nn.relu(gate_in))
+        return gate
+
+
+class MemNet(nn.Module):
+    """Memory network with gated dense recursion and internal bicubic
+    upscale (reference: network_memnet.py:80)."""
+    in_chans: int = 1
+    upscale: int = 2
+    num_memory_blocks: int = 6
+    num_residual_blocks: int = 6
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_up = bicubic_up(x, self.upscale)
+        y = nchw_to_nhwc(x_up)
+        feat = Conv(self.features, 3, dtype=self.dtype)(nn.relu(y))
+        long_term = [feat]
+        h = feat
+        for i in range(self.num_memory_blocks):
+            h = _MemoryBlock(self.features, self.num_residual_blocks,
+                             n_memories=i + 1, dtype=self.dtype,
+                             name=f'memblock{i}')(h, long_term)
+            long_term.append(h)
+        out = Conv(self.in_chans, 3, dtype=self.dtype)(nn.relu(h))
+        res = nhwc_to_nchw(out)
+        return {'out': x_up + res, 'x_interp': x_up,
+                'global_residual': res}

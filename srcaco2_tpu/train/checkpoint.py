@@ -1,0 +1,114 @@
+"""Checkpointing: iteration-numbered state + best-model params, orbax.
+
+Reference layout parity (model_plain.save:95, utils_config.py:407-458):
+  <exp>/models/<iter>_G/           (params)
+  <exp>/models/<iter>_optimizerG/  (opt state + step + elb_t)
+  <exp>/models/<iter>_E/           (EMA params, when E_decay > 0)
+  <exp>/best-models/G-model/       (best params per validation ds;
+                                    G-<ds>/ when multi-valid)
+with resume = max-iteration auto-discovery and GC-to-latest.
+"""
+import os
+import re
+import shutil
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from srcaco2_tpu.train.state import TrainState
+
+_CKPT = ocp.PyTreeCheckpointer()
+
+
+def _models_dir(exp_dir: str) -> str:
+    # orbax/tensorstore requires absolute paths.
+    return os.path.abspath(os.path.join(exp_dir, 'models'))
+
+
+def save_checkpoint(exp_dir: str, state: TrainState):
+    step = int(state.step)
+    md = _models_dir(exp_dir)
+    os.makedirs(md, exist_ok=True)
+    _CKPT.save(os.path.join(md, f'{step}_G'), state.params, force=True)
+    aux = {'opt_state': state.opt_state, 'step': state.step,
+           'elb_t': state.elb_t}
+    _CKPT.save(os.path.join(md, f'{step}_optimizerG'), aux, force=True)
+    if state.ema_params is not None:
+        _CKPT.save(os.path.join(md, f'{step}_E'), state.ema_params,
+                   force=True)
+
+
+def find_last_checkpoint(exp_dir: str) -> int:
+    """Largest saved iteration, 0 if none (utils_config.py:407)."""
+    md = _models_dir(exp_dir)
+    if not os.path.isdir(md):
+        return 0
+    steps = [int(m.group(1)) for d in os.listdir(md)
+             if (m := re.match(r'^(\d+)_G$', d))]
+    return max(steps, default=0)
+
+
+def load_checkpoint(exp_dir: str, state: TrainState,
+                    step: Optional[int] = None,
+                    load_optimizer: bool = True) -> Tuple[TrainState, int]:
+    """Restore params (+optimizer) at `step` (default: latest)."""
+    step = step if step is not None else find_last_checkpoint(exp_dir)
+    if step <= 0:
+        return state, 0
+    md = _models_dir(exp_dir)
+    params = _CKPT.restore(os.path.join(md, f'{step}_G'),
+                           item=state.params)
+    new = state.replace(params=params)
+    opt_path = os.path.join(md, f'{step}_optimizerG')
+    if load_optimizer and os.path.isdir(opt_path):
+        aux = _CKPT.restore(opt_path,
+                            item={'opt_state': state.opt_state,
+                                  'step': state.step,
+                                  'elb_t': state.elb_t})
+        new = new.replace(opt_state=aux['opt_state'],
+                          step=aux['step'], elb_t=aux['elb_t'])
+    else:
+        new = new.replace(step=jax.numpy.asarray(step, jax.numpy.int32))
+    e_path = os.path.join(md, f'{step}_E')
+    if state.ema_params is not None and os.path.isdir(e_path):
+        new = new.replace(ema_params=_CKPT.restore(
+            e_path, item=state.ema_params))
+    return new, step
+
+
+def gc_checkpoints(exp_dir: str, keep_step: int):
+    """Delete all but the latest iteration (utils_config.py:436)."""
+    md = _models_dir(exp_dir)
+    if not os.path.isdir(md):
+        return
+    for d in os.listdir(md):
+        m = re.match(r'^(\d+)_(G|optimizerG|E)$', d)
+        if m and int(m.group(1)) != keep_step:
+            shutil.rmtree(os.path.join(md, d), ignore_errors=True)
+
+
+def save_best(exp_dir: str, params, ds_name: Optional[str] = None):
+    """best-models/G-model (single valid) or G-<ds> (multi-valid)."""
+    bd = os.path.abspath(os.path.join(exp_dir, 'best-models'))
+    os.makedirs(bd, exist_ok=True)
+    name = 'G-model' if ds_name is None else f'G-{ds_name}'
+    _CKPT.save(os.path.join(bd, name), params, force=True)
+
+
+def load_best(exp_dir: str, template, ds_name: Optional[str] = None):
+    bd = os.path.abspath(os.path.join(exp_dir, 'best-models'))
+    name = 'G-model' if ds_name is None else f'G-{ds_name}'
+    path = os.path.join(bd, name)
+    if not os.path.isdir(path) and ds_name is not None:
+        path = os.path.join(bd, 'G-model')
+    return _CKPT.restore(path, item=template)
+
+
+def save_params(path: str, params):
+    _CKPT.save(os.path.abspath(path), params, force=True)
+
+
+def load_params(path: str, template):
+    return _CKPT.restore(os.path.abspath(path), item=template)

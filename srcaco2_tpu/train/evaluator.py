@@ -1,0 +1,148 @@
+"""Evaluation engine: fast_eval + the test protocol.
+
+Reference analogs: utils_trainer.fast_eval:533 (per-batch forward,
+uint8-rounded metrics, ROI marginalization over thresholds 4..10,
+per-image details, first-N prediction dumps), evaluate:1184 (test on
+best-per-valid-ds models plus the bicubic Interpolate baseline under
+'<ds>_bicubic'), and the corruption guard check_model_output_corruption.
+
+TPU redesign: eval runs in fixed-size batches (last batch padded so one
+compiled program serves the whole split); full + all 7 ROI thresholds are
+computed in one device call per batch; per-image details come back as
+(B,) vectors keyed by the static per-shard index map — no float-id
+dict-sync trick needed.
+"""
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.data import pipeline as P
+from srcaco2_tpu.data.dataset import SRDataset
+from srcaco2_tpu.models.interpolate import interpolate_model
+from srcaco2_tpu.ops import metrics as M
+from srcaco2_tpu.utils.logger import DLLogger
+
+EVAL_METRICS = [constants.PSNR_MTR, constants.PSNR_Y_MTR,
+                constants.MSE_MTR, constants.NRMSE_MTR,
+                constants.SSIM_MTR]
+
+
+def _metrics_one_batch(e_img, h_img, border: int, over_roi: bool,
+                       roi_ths):
+    out = {'full': M.compute_metrics(e_img, h_img, border)}
+    if over_roi:
+        out['roi'] = M.compute_metrics_roi_marginal(e_img, h_img, border,
+                                                    roi_ths)
+    return out
+
+
+def make_metric_fn(border: int, over_roi: bool, roi_ths) -> Callable:
+    return jax.jit(lambda e, h: _metrics_one_batch(e, h, border,
+                                                   over_roi, roi_ths))
+
+
+def fast_eval(forward: Callable, params, ds: SRDataset, args,
+              eval_bsize: int, split: str,
+              save_img_dir: Optional[str] = None,
+              nbr_to_plot: int = 30,
+              current_step: int = 0,
+              track_evolution_img: bool = False) -> Dict:
+    """Evaluate one dataset split. Returns
+    {'full': {metric: mean}, 'roi': {...}, 'details': {id: {...}},
+    'n': N, 'time': s}."""
+    t0 = time.perf_counter()
+    n = len(ds)
+    border = int(args['scale'])
+    over_roi = bool(args.get('eval_over_roi_also', False))
+    roi_ths = args.get('eval_over_roi_also_ths', constants.ROI_THRESH)
+    metric_fn = make_metric_fn(border, over_roi, roi_ths)
+
+    if ds.hr_dev is None:
+        ds.stage()
+
+    sums = {'full': {m: 0.0 for m in EVAL_METRICS}}
+    if over_roi:
+        sums['roi'] = {m: 0.0 for m in EVAL_METRICS}
+    details = {}
+    roi_details = {}
+
+    n_plotted = 0
+    for start in range(0, n, eval_bsize):
+        idx = np.arange(start, min(start + eval_bsize, n))
+        pad = eval_bsize - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) \
+            if pad else idx
+        batch = P.make_eval_batch(ds.hr_dev, ds.lr_dev, jnp.asarray(idx_p))
+        e_img = forward(params, batch)
+        if not bool(jnp.all(jnp.isfinite(e_img))):
+            DLLogger.log(f'CORRUPTED model output in eval ({ds.name}); '
+                         f'aborting.')
+            raise FloatingPointError('non-finite eval output')
+        h_img = M.uint8_round(batch['h_im'])
+        res = metric_fn(e_img, h_img)
+        res = jax.tree.map(np.asarray, res)
+        for scope in sums:
+            for m in EVAL_METRICS:
+                sums[scope][m] += float(res[scope][m][:len(idx)].sum())
+        for j, gi in enumerate(idx):
+            img_id = ds.ids[gi]
+            details[img_id] = {m: float(res['full'][m][j])
+                               for m in EVAL_METRICS}
+            if over_roi:
+                roi_details[img_id] = {m: float(res['roi'][m][j])
+                                       for m in EVAL_METRICS}
+        if save_img_dir and n_plotted < nbr_to_plot and \
+                args.get('is_master', True):
+            from srcaco2_tpu.data.io import imsave
+            e_np = np.asarray(e_img)
+            for j, gi in enumerate(idx):
+                if n_plotted >= nbr_to_plot:
+                    break
+                img_id = ds.ids[gi].replace('/', '_')
+                if track_evolution_img:
+                    d = os.path.join(save_img_dir, img_id)
+                    path = os.path.join(d, f'{img_id}_{current_step}.png')
+                else:
+                    path = os.path.join(save_img_dir, f'{img_id}.png')
+                imsave(e_np[j].transpose(1, 2, 0), path)
+                n_plotted += 1
+
+    out = {'full': {m: sums['full'][m] / n for m in EVAL_METRICS},
+           'details': details, 'n': n,
+           'time': time.perf_counter() - t0}
+    if over_roi:
+        out['roi'] = {m: sums['roi'][m] / n for m in EVAL_METRICS}
+        out['roi_details'] = roi_details
+    return out
+
+
+def make_interpolate_forward(scale: int, mode: str) -> Callable:
+    """The bicubic Interpolate pseudo-model as an eval forward."""
+
+    @jax.jit
+    def fwd(params, batch):
+        out = interpolate_model(batch['l_im'], scale, mode)['out']
+        return M.uint8_round(out)
+
+    return fwd
+
+
+def log_perf(tag: str, perf: Dict):
+    f = perf['full']
+    msg = (f"[{tag}] psnr {f[constants.PSNR_MTR]:.4f} dB | "
+           f"ssim {f[constants.SSIM_MTR]:.4f} | "
+           f"nrmse {f[constants.NRMSE_MTR]:.5f} | "
+           f"mse {f[constants.MSE_MTR]:.4f} | "
+           f"psnr_y {f[constants.PSNR_Y_MTR]:.4f} | "
+           f"n={perf['n']} | {perf['time']:.1f}s")
+    if 'roi' in perf:
+        r = perf['roi']
+        msg += (f"\n[{tag}/ROI] psnr {r[constants.PSNR_MTR]:.4f} dB | "
+                f"ssim {r[constants.SSIM_MTR]:.4f} | "
+                f"nrmse {r[constants.NRMSE_MTR]:.5f}")
+    DLLogger.log(msg)

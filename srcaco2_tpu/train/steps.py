@@ -1,0 +1,143 @@
+"""Jitted train/eval steps.
+
+Reference analogs: ModelPlain.optimize_parameters:318 (forward -> loss ->
+backward -> clip -> step -> EMA -> corruption check), netG_forward:178
+(input switch: pre-upsampling nets consume l_to_h_img), the per-net loss
+dispatch for curriculum/progressive models (model_plain.py:203-316), and
+the non-finite-loss step skip (:343).
+
+TPU redesign: the whole step — including the input-pipeline batch assembly
+— is one jitted function with donated state. The non-finite skip keeps the
+old state via jnp.where instead of host control flow, and 'corruption' is
+returned as a scalar flag the host checks asynchronously.
+"""
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.data import pipeline as P
+from srcaco2_tpu.losses.master import MasterLoss
+from srcaco2_tpu.ops.resize import resize2d
+from srcaco2_tpu.train.state import TrainState, all_finite, ema_update
+
+
+def net_input(net_type: str, batch: dict) -> jax.Array:
+    """Pre-upsampling nets consume the bicubic pre-upscale
+    (model_plain.py:196: SRCNN and non-pyramid CSRCNN)."""
+    if net_type in constants.PRE_UPSAMPLED_INPUT_NETS:
+        return batch['l_to_h_img']
+    return batch['l_im']
+
+
+def compute_model_loss(net_type: str, master: MasterLoss, outputs: dict,
+                       batch: dict, params, epoch, elb_t):
+    """Per-net loss dispatch (model_plain.py:203-316): curriculum models
+    supervise every intermediate output; progressive/pyramid models
+    supervise each level against the correspondingly downscaled target."""
+    target = batch['h_im']
+    inter = outputs.get('intermediate_outs')
+    if inter is None:
+        return master(outputs, batch, params, epoch, elb_t)
+
+    total = jnp.zeros((), jnp.float32)
+    holder = None
+    if net_type in (constants.SRFBN,):
+        # curriculum: every step's output vs the full-res target.
+        for o in inter:
+            t_i, h_i = master({**outputs, 'out': o}, batch, params,
+                              epoch, elb_t)
+            total = total + t_i
+            holder = h_i if holder is None else \
+                {k: holder[k] + h_i[k] for k in holder}
+    elif net_type in (constants.MSLAPSR, constants.PROSR):
+        # progressive: level outputs vs bicubic-downscaled targets.
+        for o in inter:
+            hh, ww = o.shape[-2], o.shape[-1]
+            if (hh, ww) != (target.shape[-2], target.shape[-1]):
+                t_lvl = jnp.clip(resize2d(target, (hh, ww)), 0.0, 1.0)
+            else:
+                t_lvl = target
+            b_lvl = {**batch, 'h_im': t_lvl}
+            if 'h_per_pixel_weight' in b_lvl and \
+                    t_lvl.shape != target.shape:
+                b_lvl = {k: v for k, v in b_lvl.items()
+                         if k != 'h_per_pixel_weight'}
+            t_i, h_i = master({**outputs, 'out': o}, b_lvl, params,
+                              epoch, elb_t)
+            total = total + t_i
+            holder = h_i if holder is None else \
+                {k: holder[k] + h_i[k] for k in holder}
+    else:
+        return master(outputs, batch, params, epoch, elb_t)
+    return total, holder
+
+
+def make_train_step(model, master: MasterLoss, tx, net_type: str,
+                    pipe_cfg: P.PipeConfig, e_decay: float = 0.0,
+                    steps_per_epoch: int = 1,
+                    ppiw_table: Optional[jax.Array] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step:
+    (state, hr_u8, lr_u8, idxs, key) -> (state, loss_holder, ok_flag)."""
+
+    def step_fn(state: TrainState, hr_u8, lr_u8, idxs, key):
+        epoch = state.step // steps_per_epoch
+        skey = jax.random.fold_in(key, state.step)
+        batch = P.make_train_batch(hr_u8, lr_u8, idxs, skey, pipe_cfg,
+                                   ppiw_table)
+        x = net_input(net_type, batch)
+
+        def loss_fn(params):
+            outputs = model.apply({'params': params}, x, train=True)
+            total, holder = compute_model_loss(
+                net_type, master, outputs, batch, params, epoch,
+                state.elb_t)
+            return total, (holder, outputs['out'])
+
+        (loss, (holder, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # non-finite loss -> skip the update (model_plain.py:343).
+        ok = jnp.isfinite(loss) & all_finite(grads)
+        zero_grads = jax.tree.map(jnp.zeros_like, grads)
+        safe_grads = jax.tree.map(
+            lambda g, z: jnp.where(ok, g, z), grads, zero_grads)
+        updates, new_opt = tx.update(safe_grads, state.opt_state,
+                                     state.params)
+        new_params = jax.tree.map(
+            lambda p, u: jnp.where(ok, p + u, p), state.params, updates)
+        new_ema = state.ema_params
+        if e_decay > 0 and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, e_decay)
+
+        # corruption flag (tools.check_corruption analog): non-finite or
+        # negative-free checks run on device, host asserts on the flag.
+        corrupt = ~all_finite(new_params) | ~jnp.all(jnp.isfinite(pred))
+
+        new_state = state.replace(step=state.step + 1,
+                                  params=new_params,
+                                  opt_state=new_opt,
+                                  ema_params=new_ema)
+        return new_state, holder, ok & ~corrupt
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(model, net_type: str, scale: int,
+                      use_ema: bool = False) -> Callable:
+    """Jitted full-image forward: (params, batch) -> uint8-rounded
+    prediction in [0,255] NCHW. Window-padded models (SwinIR/GRL) pad
+    internally with static shapes, replacing _forward_with_padding
+    (utils_trainer.py:829)."""
+
+    @jax.jit
+    def fwd(params, batch):
+        x = net_input(net_type, batch)
+        out = model.apply({'params': params}, x, train=False)['out']
+        return jnp.clip(jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0),
+                        0.0, 255.0)
+
+    return fwd

@@ -1,0 +1,341 @@
+"""Training orchestration: train_valid + the test protocol.
+
+Reference analog: utils_trainer.train_valid:276 — step-0 bicubic-baseline
+validation, per-step deterministic keys, mid-epoch validation every
+checkpoint_eval (int iters or float fraction of an epoch), checkpoint
+save + GC + tracker pickle, best-model selection per validation ds,
+periodic test-on-best every test_epoch_freq, tracker plots every
+plot_epoch_freq, ELB t update per epoch, final test with the bicubic
+Interpolate baseline under '<ds>_bicubic' (evaluate:1184).
+"""
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import yaml
+import jax
+import jax.numpy as jnp
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.data import pipeline as P
+from srcaco2_tpu.data.dataset import SRDataset, load_dataset, SEP
+from srcaco2_tpu.losses.elb import update_t
+from srcaco2_tpu.losses.master import build_loss
+from srcaco2_tpu.models.registry import (apply_init, count_params,
+                                         define_g, init_params)
+from srcaco2_tpu.config.net_defaults import safe_str_var
+from srcaco2_tpu.train import checkpoint as CKPT
+from srcaco2_tpu.train.evaluator import (fast_eval, log_perf,
+                                         make_interpolate_forward)
+from srcaco2_tpu.train.schedule import build_optimizer
+from srcaco2_tpu.train.state import TrainState
+from srcaco2_tpu.train.steps import make_eval_forward, make_train_step
+from srcaco2_tpu.utils import tracker as T
+from srcaco2_tpu.utils.logger import DLLogger, fmsg
+
+
+def _freq_to_iters(v, steps_per_epoch: int) -> int:
+    """int = iterations; float in ]0,1] = fraction of an epoch
+    (utils_trainer.py:330-352)."""
+    if isinstance(v, float) and 0 < v <= 1.0:
+        return max(1, int(round(v * steps_per_epoch)))
+    return int(v)
+
+
+def _select_metric_value(perf: Dict, args) -> float:
+    scope = 'roi' if args.get('eval_over_roi_also_model_select', False) \
+        else 'full'
+    return perf.get(scope, perf['full'])[args['model_select_mtr']]
+
+
+class Experiment:
+    """Builds and holds all training components for one experiment."""
+
+    def __init__(self, args: dict):
+        self.args = args
+        self.exp_dir = args['abs_fd_exp'] or os.getcwd()
+        nt = args['netG']['net_type']
+        self.net_type = nt
+
+        # datasets ---------------------------------------------------
+        tr_names = [s for s in str(args['train_dsets']).split(SEP) if s]
+        self.train_sets: List[SRDataset] = [
+            load_dataset(args, n, constants.TRAIN_PHASE,
+                         frac=float(args.get('train_n', 1.0)))
+            for n in tr_names]
+        assert self.train_sets, 'no train dataset'
+        # concatenate multiple train datasets into one packed stack
+        if len(self.train_sets) == 1:
+            self.train_ds = self.train_sets[0]
+        else:
+            d0 = self.train_sets[0]
+            self.train_ds = SRDataset(
+                name='+'.join(tr_names), phase=constants.TRAIN_PHASE,
+                scale=d0.scale, n_channels=d0.n_channels,
+                hr=np.concatenate([d.hr for d in self.train_sets]),
+                lr=np.concatenate([d.lr for d in self.train_sets]),
+                ids=sum([d.ids for d in self.train_sets], []),
+                h_paths=sum([d.h_paths for d in self.train_sets], []),
+                l_paths=sum([d.l_paths for d in self.train_sets], []),
+                lr_is_real=d0.lr_is_real)
+        self.train_ds.stage()
+
+        n_val = int(args.get('valid_n_samples', -1))
+        self.valid_sets = [
+            load_dataset(args, n, constants.EVAL_PHASE, n=n_val).stage()
+            for n in str(args['valid_dsets']).split(SEP) if n]
+        self.test_sets = [
+            load_dataset(args, n, constants.EVAL_PHASE)
+            for n in str(args['test_dsets']).split(SEP) if n]
+
+        # model + loss + optimizer ------------------------------------
+        self.model = define_g(args)
+        self.master = build_loss(args)
+        self.tx = build_optimizer(args['train'])
+        self.pipe_cfg = P.from_args(args)
+
+        bs = int(args['batch_size'])
+        self.batch_size = bs
+        self.steps_per_epoch = max(1, len(self.train_ds) // bs)
+
+        key = jax.random.key(int(args.get('myseed', 0)))
+        self.root_key = key
+        in_hw = args['h_size'] if nt in constants.PRE_UPSAMPLED_INPUT_NETS \
+            else self.pipe_cfg.l_size
+        sample = jnp.zeros((1, args['n_channels'], in_hw, in_hw),
+                           jnp.float32)
+        params = init_params(self.model, key, sample)
+        snt = safe_str_var(nt)
+        scheme = args['netG'].get(f'{snt}_init_type',
+                                  constants.INIT_W_DEFAULT)
+        gain = float(args['netG'].get(f'{snt}_init_gain', 1.0))
+        params = apply_init(params, scheme, gain,
+                            jax.random.fold_in(key, 7))
+        DLLogger.log(f'netG {nt}: {count_params(params):,} params')
+
+        e_decay = float(args['train'].get('E_decay', 0.0) or 0.0)
+        self.e_decay = e_decay
+        self.state = TrainState.create(
+            params, self.tx, e_decay,
+            elb_init_t=float(args.get('elb_init_t', 1.0)))
+
+        self.ppiw_table = None
+        if args.get('ppiw', False):
+            self.ppiw_table = jnp.asarray(P.per_color_weights(
+                self.train_ds.hr,
+                float(args.get('ppiw_min_per_col_w', 0.001))))
+
+        self.train_step = make_train_step(
+            self.model, self.master, self.tx, nt, self.pipe_cfg,
+            e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
+            ppiw_table=self.ppiw_table)
+        self.forward = make_eval_forward(self.model, nt,
+                                         int(args['scale']))
+        self.interp_forward = make_interpolate_forward(
+            int(args['scale']), args.get('basic_interpolation',
+                                         constants.INTER_BICUBIC))
+
+        # tracker ------------------------------------------------------
+        eval_names = [d.name for d in self.valid_sets] + \
+            [d.name for d in self.test_sets] + \
+            [d.name + '_bicubic' for d in self.test_sets]
+        self.tracker = T.find_last_tracker(self.exp_dir) or \
+            T.init_tracker(self.master.names, eval_names)
+        self.roi_tracker = T.find_last_tracker(
+            self.exp_dir, 'roi_tracker.pkl') or \
+            T.init_tracker(self.master.names, eval_names)
+
+    # ------------------------------------------------------------ helpers
+    def resume(self) -> int:
+        self.state, step = CKPT.load_checkpoint(
+            self.exp_dir, self.state,
+            load_optimizer=bool(
+                self.args['train'].get('G_optimizer_reuse', True)))
+        if step:
+            DLLogger.log(fmsg(f'Resumed from iteration {step}'))
+        return step
+
+    def _validate(self, step: int) -> None:
+        args = self.args
+        multi = len(self.valid_sets) > 1
+        for ds in self.valid_sets:
+            img_dir = os.path.join(self.exp_dir, args['save_dir_imgs'],
+                                   constants.VALIDSET, ds.name)
+            os.makedirs(img_dir, exist_ok=True)
+            perf = fast_eval(self.forward, self.state.params, ds, args,
+                             int(args['eval_bsize']), constants.VALIDSET,
+                             save_img_dir=img_dir, current_step=step,
+                             track_evolution_img=True)
+            log_perf(f'valid/{ds.name}@{step}', perf)
+            is_best = T.update_tracker_eval(
+                self.tracker, constants.VALIDSET, ds.name, perf['full'],
+                step, args['model_select_mtr'])
+            if 'roi' in perf:
+                roi_best = T.update_tracker_eval(
+                    self.roi_tracker, constants.VALIDSET, ds.name,
+                    perf['roi'], step, args['model_select_mtr'])
+                if args.get('eval_over_roi_also_model_select', False):
+                    is_best = roi_best
+            if is_best and args.get('is_master', True):
+                CKPT.save_best(self.exp_dir, self.state.params,
+                               ds.name if multi else None)
+                with open(os.path.join(self.exp_dir, 'best-models',
+                                       f'details_{ds.name}.yml'.replace(
+                                           '/', '_')), 'w') as f:
+                    yaml.safe_dump(perf['details'], f)
+                DLLogger.log(f'[best] new best on {ds.name} @ {step}')
+
+    def evaluate_test(self, step: int, use_best: bool = True):
+        """Test protocol (utils_trainer.evaluate:1184): per test ds, load
+        the best model (per matching valid ds when multi-valid), evaluate,
+        plus the bicubic baseline under <ds>_bicubic."""
+        args = self.args
+        multi = len(self.valid_sets) > 1
+        for ds in self.test_sets:
+            if ds.hr_dev is None:
+                ds.stage()
+            params = self.state.params
+            if use_best:
+                try:
+                    vds = None
+                    if multi:
+                        vds = ds.name.replace('test', 'val')
+                    params = CKPT.load_best(self.exp_dir,
+                                            self.state.params, vds)
+                except Exception as e:
+                    DLLogger.log(f'[test] no best model yet '
+                                 f'({e}); using current weights')
+            img_dir = os.path.join(self.exp_dir, args['save_dir_imgs'],
+                                   constants.TESTSET, ds.name)
+            os.makedirs(img_dir, exist_ok=True)
+            perf = fast_eval(self.forward, params, ds, args,
+                             int(args['eval_bsize']), constants.TESTSET,
+                             save_img_dir=img_dir, current_step=step)
+            log_perf(f'test/{ds.name}@{step}', perf)
+            T.update_tracker_eval(self.tracker, constants.TESTSET,
+                                  ds.name, perf['full'], step,
+                                  args['model_select_mtr'])
+            if 'roi' in perf:
+                T.update_tracker_eval(self.roi_tracker, constants.TESTSET,
+                                      ds.name, perf['roi'], step,
+                                      args['model_select_mtr'])
+            # bicubic floor
+            bperf = fast_eval(self.interp_forward, None, ds, args,
+                              int(args['eval_bsize']), constants.TESTSET)
+            log_perf(f'test/{ds.name}_bicubic@{step}', bperf)
+            T.update_tracker_eval(self.tracker, constants.TESTSET,
+                                  ds.name + '_bicubic', bperf['full'],
+                                  step, args['model_select_mtr'])
+            if 'roi' in bperf:
+                T.update_tracker_eval(self.roi_tracker, constants.TESTSET,
+                                      ds.name + '_bicubic', bperf['roi'],
+                                      step, args['model_select_mtr'])
+
+    # ------------------------------------------------------------- train
+    def train_valid(self):
+        args = self.args
+        t_start = time.perf_counter()
+        start_step = self.resume()
+        spe = self.steps_per_epoch
+        max_epochs = int(args['max_epochs'])
+        total_steps = max_epochs * spe
+        n_check_eval = _freq_to_iters(args['train']['checkpoint_eval'],
+                                      spe)
+        n_check_save = _freq_to_iters(args['train']['checkpoint_save'],
+                                      spe)
+        test_epoch_freq = int(args['train'].get('test_epoch_freq', 0))
+        plot_epoch_freq = int(args['train'].get('plot_epoch_freq', 0))
+
+        # step-0 bicubic baseline validation (utils_trainer.py:292)
+        if start_step == 0:
+            DLLogger.log(fmsg('step-0 bicubic-baseline validation'))
+            for ds in self.valid_sets:
+                perf = fast_eval(self.interp_forward, None, ds, args,
+                                 int(args['eval_bsize']),
+                                 constants.VALIDSET)
+                log_perf(f'valid/{ds.name}_bicubic@0', perf)
+
+        hr_dev = self.train_ds.hr_dev
+        lr_dev = self.train_ds.lr_dev
+        n_train = len(self.train_ds)
+        step = start_step
+        key = self.root_key
+        state = self.state
+        epoch_losses: Dict[str, list] = {}
+        last_epoch = step // spe
+
+        DLLogger.log(fmsg(
+            f'training {self.net_type}: {n_train} samples, '
+            f'{spe} steps/epoch, {max_epochs} epochs'))
+
+        while step < total_steps:
+            epoch = step // spe
+            # per-epoch permutation (DistributedSampler analog)
+            perm = P.epoch_indices(key, n_train, jnp.int32(epoch))
+            i_in_epoch = step % spe
+            idxs = jax.lax.dynamic_slice_in_dim(
+                perm, i_in_epoch * self.batch_size, self.batch_size)
+            state, holder, ok = self.train_step(state, hr_dev, lr_dev,
+                                                idxs, key)
+            step += 1
+
+            for name, v in holder.items():
+                epoch_losses.setdefault(name, []).append(v)
+
+            if step % n_check_eval == 0:
+                self.state = state
+                if not bool(ok):
+                    DLLogger.log(f'[warn] step {step}: non-finite loss '
+                                 f'detected, update was skipped')
+                self._validate(step)
+            if step % n_check_save == 0 and args.get('is_master', True):
+                self.state = state
+                CKPT.save_checkpoint(self.exp_dir, state)
+                CKPT.gc_checkpoints(self.exp_dir, int(state.step))
+                T.save_tracker(self.tracker, self.exp_dir)
+                T.save_tracker(self.roi_tracker, self.exp_dir,
+                               'roi_tracker.pkl')
+
+            new_epoch = step // spe
+            if new_epoch != last_epoch:
+                # epoch boundary: aggregate losses, ELB t, periodic jobs.
+                agg = {n: float(np.mean([float(v) for v in vs]))
+                       for n, vs in epoch_losses.items()}
+                T.update_tracker_train(self.tracker, T.PERIOD_EPOCH, agg)
+                loss_line = ' '.join(f'{n}={v:.6f}'
+                                     for n, v in agg.items())
+                DLLogger.log(f'[epoch {last_epoch}] {loss_line} '
+                             f'({time.perf_counter() - t_start:.1f}s '
+                             f'elapsed)')
+                epoch_losses = {}
+                state = state.replace(elb_t=update_t(
+                    state.elb_t, self.master.elb_mulcoef,
+                    self.master.elb_max_t))
+                if test_epoch_freq and new_epoch % test_epoch_freq == 0:
+                    self.state = state
+                    self.evaluate_test(step)
+                if plot_epoch_freq and new_epoch % plot_epoch_freq == 0 \
+                        and args.get('is_master', True):
+                    T.plot_tracker(self.tracker, self.exp_dir)
+                last_epoch = new_epoch
+
+        # final: save, validate, test, plots ---------------------------
+        self.state = state
+        if args.get('is_master', True):
+            CKPT.save_checkpoint(self.exp_dir, state)
+            CKPT.gc_checkpoints(self.exp_dir, int(state.step))
+        self._validate(step)
+        self.evaluate_test(step, use_best=True)
+        if args.get('is_master', True):
+            T.save_tracker(self.tracker, self.exp_dir)
+            T.save_tracker(self.roi_tracker, self.exp_dir,
+                           'roi_tracker.pkl')
+            T.plot_tracker(self.tracker, self.exp_dir)
+            total_t = time.perf_counter() - t_start
+            with open(os.path.join(self.exp_dir, 'passed.txt'), 'w') as f:
+                f.write(f'done in {total_t:.1f}s\n')
+            with open(os.path.join(self.exp_dir, 'LOG.txt'), 'a') as f:
+                f.write(f'{self.net_type} x{args["scale"]} '
+                        f'steps={step} time={total_t:.1f}s\n')
+            DLLogger.log(fmsg(f'training done in {total_t:.1f}s'))
