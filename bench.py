@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: SwinIR x8 training throughput (patches/sec/chip).
+
+Runs the REAL flagship train step (in-jit input pipeline + forward +
+backward + optimizer + EMA) on the benchmark config (window 8, embed 180,
+depths 6x6x6x6x6x6, heads 6, mlp 2, pixelshuffledirect; h_size 128 -> LR
+16x16 patches; loss l2 + 5*ssim(window 19)) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/sec/chip",
+   "vs_baseline": N}
+vs_baseline is against the 3000 patches/sec/chip north star from
+BASELINE.json (the reference publishes no throughput numbers).
+
+Flags: --quick (small model, smoke), --batch N, --steps N, --f32
+(disable bf16 compute).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true')
+    ap.add_argument('--batch', type=int, default=0)
+    ap.add_argument('--steps', type=int, default=20)
+    ap.add_argument('--f32', action='store_true')
+    ns = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from srcaco2_tpu import constants
+    from srcaco2_tpu.config.defaults import get_config
+    from srcaco2_tpu.data import pipeline as P
+    from srcaco2_tpu.losses.master import build_loss
+    from srcaco2_tpu.models.swinir import SwinIR
+    from srcaco2_tpu.train.schedule import build_optimizer
+    from srcaco2_tpu.train.state import TrainState
+    from srcaco2_tpu.train.steps import make_train_step
+
+    n_chips = jax.device_count()
+    scale, h_size = 8, 128
+    ls = h_size // scale
+
+    if ns.quick:
+        model = SwinIR(in_chans=1, upscale=scale, window_size=8,
+                       embed_dim=32, depths=(2, 2), num_heads=(2, 2),
+                       mlp_ratio=2.0,
+                       upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
+                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
+        batch = ns.batch or 16
+        steps = min(ns.steps, 5)
+    else:
+        model = SwinIR(in_chans=1, upscale=scale, window_size=8,
+                       embed_dim=180, depths=(6, 6, 6, 6, 6, 6),
+                       num_heads=(6, 6, 6, 6, 6, 6), mlp_ratio=2.0,
+                       upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
+                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
+        batch = ns.batch or 64
+        steps = ns.steps
+
+    args = get_config(constants.SWINIR)
+    args['l2'] = True
+    args['ssim'] = True
+    args['ssim_lambda'] = 5.0
+    args['ssim_window_s'] = 19
+    master = build_loss(args)
+    tx = build_optimizer(args['train'])
+
+    x0 = jnp.zeros((1, 1, ls, ls), jnp.float32)
+    params = model.init(jax.random.key(0), x0, train=False)['params']
+    state = TrainState.create(params, tx)
+
+    pipe_cfg = P.PipeConfig(scale=scale, h_size=h_size)
+    step_fn = make_train_step(model, master, tx, constants.SWINIR,
+                              pipe_cfg, steps_per_epoch=1000)
+
+    # synthetic staged split (256 HR images is plenty for sampling)
+    rng = np.random.default_rng(0)
+    n_img = 64 if ns.quick else 256
+    hr = jnp.asarray(rng.integers(0, 256, (n_img, 512, 512, 1)),
+                     jnp.uint8)
+    lr = jnp.asarray(rng.integers(0, 256, (n_img, 512 // scale,
+                                           512 // scale, 1)), jnp.uint8)
+    key = jax.random.key(0)
+    idx_key = jax.random.key(1)
+
+    def sample_idxs(i):
+        return jax.random.randint(jax.random.fold_in(idx_key, i),
+                                  (batch,), 0, n_img)
+
+    # warmup/compile
+    state, holder, ok = step_fn(state, hr, lr, sample_idxs(0), key)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        state, holder, ok = step_fn(state, hr, lr, sample_idxs(i), key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    pps = batch * steps / dt / max(1, n_chips)
+    target = 3000.0
+    out = {
+        'metric': 'swinir_x8_train_patches_per_sec_per_chip',
+        'value': round(pps, 2),
+        'unit': 'patches/sec/chip',
+        'vs_baseline': round(pps / target, 4),
+        'detail': {
+            'batch': batch, 'steps': steps, 'secs': round(dt, 3),
+            'chips': n_chips,
+            'device': str(jax.devices()[0]),
+            'dtype': 'float32' if ns.f32 else 'bfloat16',
+            'quick': bool(ns.quick),
+            'loss': float(holder['total']),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

@@ -132,6 +132,68 @@ def bicubic_up(x_nchw: jax.Array, scale: int, clip: bool = True):
     return jnp.clip(y, 0.0, 1.0) if clip else y
 
 
+class StridedConv(nn.Module):
+    """torch-style strided conv: explicit symmetric padding."""
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride),
+                       padding=[(p, p), (p, p)], use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
+
+
+class ConvT(nn.Module):
+    """torch ConvTranspose2d equivalent: full ('VALID') transpose conv,
+    then crop `padding` from each side — out = in*stride when
+    kernel - 2*padding == stride."""
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(
+        1.0, 'fan_in', 'uniform')
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.ConvTranspose(self.features, (self.kernel, self.kernel),
+                             strides=(self.stride, self.stride),
+                             padding='VALID', use_bias=self.use_bias,
+                             dtype=self.dtype,
+                             kernel_init=self.kernel_init)(x)
+        p = self.padding
+        if p:
+            y = y[:, p:-p, p:-p, :]
+        return y
+
+
+def bilinear_upsample_init(size: int):
+    """Bilinear-filter initializer for transposed convs (MSLapSRN's
+    get_upsample_filter analog): kernel (H,W,O,I) filled with the same
+    2D bilinear filter."""
+    factor = (size + 1) // 2
+    center = factor - 1 if size % 2 == 1 else factor - 0.5
+    og = jnp.arange(size, dtype=jnp.float32)
+    f1 = 1.0 - jnp.abs(og - center) / factor
+    filt = f1[:, None] * f1[None, :]
+
+    def init(key, shape, dtype=jnp.float32):
+        h, w = shape[0], shape[1]
+        assert h == size and w == size, (shape, size)
+        return jnp.broadcast_to(filt[:, :, None, None],
+                                shape).astype(dtype)
+    return init
+
+
 class ConvReLU(nn.Module):
     features: int
     kernel: int = 3

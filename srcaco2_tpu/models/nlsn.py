@@ -1,0 +1,152 @@
+"""NLSN: non-local sparse attention SR network.
+
+Capability parity with the reference (network_nlsn.py:301 — EDSR body of
+32 ResBlocks, res_scale 0.1, NonLocalSparseAttention:131 inserted before
+the body and after every 8th block; LSH with n_hashes rounds, chunked
+attention over sorted buckets with adjacent-bucket attention, multi-round
+logsumexp-weighted aggregation).
+
+TPU notes: the sort/gather pipeline uses static L = H*W per traced shape,
+so argsort/take_along_axis compile to efficient TPU sorts; padding to the
+chunk size is a static amount. LSH rotations are drawn from the 'lsh' rng
+collection when provided (the reference redraws them every forward),
+falling back to a fixed key for deterministic eval.
+"""
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from srcaco2_tpu.models.blocks import (Conv, ResBlock, Upsampler,
+                                       nchw_to_nhwc, nhwc_to_nchw)
+
+Dtype = Any
+
+
+class NonLocalSparseAttention(nn.Module):
+    channels: int
+    n_hashes: int = 4
+    chunk_size: int = 144
+    reduction: int = 4
+    res_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        L = h * w
+        ck = self.chunk_size
+        red_c = self.channels // self.reduction
+
+        x_embed = Conv(red_c, 3, dtype=self.dtype,
+                       name='conv_match')(x).reshape(b, L, red_c)
+        y_embed = Conv(self.channels, 1, dtype=self.dtype,
+                       name='conv_assembly')(x).reshape(b, L,
+                                                        self.channels)
+
+        hash_buckets = min(L // ck + (L // ck) % 2, 128)
+        hash_buckets = max(hash_buckets, 2)
+
+        if self.has_rng('lsh'):
+            key = self.make_rng('lsh')
+        else:
+            key = jax.random.key(0)
+        rot = jax.random.normal(
+            key, (1, red_c, self.n_hashes, hash_buckets // 2),
+            jnp.float32).astype(x_embed.dtype)
+        rotated = jnp.einsum('btf,bfhi->bhti', x_embed,
+                             jnp.broadcast_to(rot, (b,) + rot.shape[1:]))
+        rotated = jnp.concatenate([rotated, -rotated], axis=-1)
+        hash_codes = jnp.argmax(rotated, axis=-1)      # (B, nh, L)
+        offsets = (jnp.arange(self.n_hashes) *
+                   hash_buckets).reshape(1, -1, 1)
+        hash_codes = (hash_codes + offsets).reshape(b, -1)
+        hash_codes = jax.lax.stop_gradient(hash_codes)
+
+        indices = jnp.argsort(hash_codes, axis=-1)       # (B, nh*L)
+        undo_sort = jnp.argsort(indices, axis=-1)
+        mod_idx = indices % L
+
+        def gather(t, idx):
+            return jnp.take_along_axis(
+                t, idx[..., None].repeat(t.shape[-1], -1), axis=1)
+
+        x_sorted = gather(x_embed, mod_idx)              # (B, nh*L, rc)
+        y_sorted = gather(y_embed, mod_idx)
+
+        pad = (ck - L % ck) % ck
+        xb = x_sorted.reshape(b, self.n_hashes, L, red_c)
+        yb = y_sorted.reshape(b, self.n_hashes, L, self.channels)
+        if pad:
+            xb = jnp.concatenate([xb, xb[:, :, -pad:]], axis=2)
+            yb = jnp.concatenate([yb, yb[:, :, -pad:]], axis=2)
+        nchunks = xb.shape[2] // ck
+        xb = xb.reshape(b, self.n_hashes, nchunks, ck, red_c)
+        yb = yb.reshape(b, self.n_hashes, nchunks, ck, self.channels)
+
+        x_match = xb / jnp.maximum(
+            jnp.linalg.norm(xb, axis=-1, keepdims=True), 5e-5)
+
+        def add_adjacent(t):
+            back = jnp.concatenate([t[:, :, -1:], t[:, :, :-1]], axis=2)
+            fwd = jnp.concatenate([t[:, :, 1:], t[:, :, :1]], axis=2)
+            return jnp.concatenate([t, back, fwd], axis=3)
+
+        x_match = add_adjacent(x_match)                  # ck*3 keys
+        y_keys = add_adjacent(yb)
+
+        raw = jnp.einsum('bhkie,bhkje->bhkij', xb, x_match)
+        bucket_score = jax.nn.logsumexp(raw, axis=-1, keepdims=True)
+        score = jnp.exp(raw - bucket_score)
+        ret = jnp.einsum('bhkij,bhkje->bhkie', score, y_keys)
+
+        ret = ret.reshape(b, self.n_hashes, -1, self.channels)
+        bsc = bucket_score.reshape(b, self.n_hashes, -1)
+        if pad:
+            ret = ret[:, :, :-pad]
+            bsc = bsc[:, :, :-pad]
+        ret = ret.reshape(b, -1, self.channels)
+        bsc = bsc.reshape(b, -1)
+        ret = gather(ret, undo_sort)
+        bsc = jnp.take_along_axis(bsc, undo_sort, axis=1)
+
+        ret = ret.reshape(b, self.n_hashes, L, self.channels)
+        probs = jax.nn.softmax(bsc.reshape(b, self.n_hashes, L, 1),
+                               axis=1)
+        out = (ret * probs).sum(axis=1).reshape(b, h, w, self.channels)
+        return out + self.res_scale * x
+
+
+class NLSN(nn.Module):
+    in_chans: int = 1
+    upscale: int = 2
+    n_resblocks: int = 32
+    n_feats: int = 256
+    n_hashes: int = 4
+    chunk_size: int = 144
+    res_scale: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nchw_to_nhwc(x)
+        y = Conv(self.n_feats, 3, dtype=self.dtype, name='head')(y)
+        res = y
+        res = NonLocalSparseAttention(
+            self.n_feats, self.n_hashes, self.chunk_size, 4,
+            self.res_scale, dtype=self.dtype)(res)
+        for i in range(self.n_resblocks):
+            res = ResBlock(self.n_feats, 3, res_scale=self.res_scale,
+                           dtype=self.dtype)(res)
+            if (i + 1) % 8 == 0:
+                res = NonLocalSparseAttention(
+                    self.n_feats, self.n_hashes, self.chunk_size, 4,
+                    self.res_scale, dtype=self.dtype)(res)
+        res = Conv(self.n_feats, 3, dtype=self.dtype)(res)
+        y = y + res
+        y = Upsampler(self.upscale, self.n_feats, dtype=self.dtype)(y)
+        y = Conv(self.in_chans, 3, dtype=self.dtype, name='tail')(y)
+        return {'out': nhwc_to_nchw(y)}

@@ -53,7 +53,8 @@ _KERNELS = {
 
 @functools.lru_cache(maxsize=512)
 def resize_weights(in_size: int, out_size: int, method: str = TORCH_BICUBIC,
-                   antialias: bool = False) -> np.ndarray:
+                   antialias: bool = False,
+                   align_corners: bool = False) -> np.ndarray:
     """Dense (out_size, in_size) float32 resampling matrix for one axis.
 
     Coordinate mapping is the half-pixel convention used by both torch
@@ -104,7 +105,10 @@ def resize_weights(in_size: int, out_size: int, method: str = TORCH_BICUBIC,
     width = support * scale
 
     dst = np.arange(out_size, dtype=np.float64)
-    src = (dst + 0.5) * ratio - 0.5               # (out,)
+    if align_corners and out_size > 1:
+        src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = (dst + 0.5) * ratio - 0.5           # (out,)
     left = np.floor(src - width / 2.0 + 0.5).astype(np.int64)
     ntaps = int(np.ceil(width)) + 2
     taps = left[:, None] + np.arange(ntaps)[None, :]      # (out, ntaps)
@@ -130,7 +134,8 @@ def resize_weights(in_size: int, out_size: int, method: str = TORCH_BICUBIC,
 
 
 def resize2d(x: jax.Array, out_hw, method: str = TORCH_BICUBIC,
-             antialias: bool = False) -> jax.Array:
+             antialias: bool = False,
+             align_corners: bool = False) -> jax.Array:
     """Resize the last two axes of `x` (..., H, W) -> (..., H', W') via two
     matmuls. Shapes are static, so the weight matrices are baked into the
     jitted program as constants."""
@@ -141,12 +146,12 @@ def resize2d(x: jax.Array, out_hw, method: str = TORCH_BICUBIC,
     # precision='highest': resize feeds metric parity paths; TPU f32
     # matmuls would otherwise run in bf16 passes and shift PSNR.
     if h_in != h_out:
-        wh = jnp.asarray(resize_weights(h_in, h_out, method, antialias),
-                         dtype=dtype)
+        wh = jnp.asarray(resize_weights(h_in, h_out, method, antialias,
+                                        align_corners), dtype=dtype)
         y = jnp.einsum('oh,...hw->...ow', wh, y, precision='highest')
     if w_in != w_out:
-        ww = jnp.asarray(resize_weights(w_in, w_out, method, antialias),
-                         dtype=dtype)
+        ww = jnp.asarray(resize_weights(w_in, w_out, method, antialias,
+                                        align_corners), dtype=dtype)
         y = jnp.einsum('ow,...hw->...ho', ww, y, precision='highest')
     return y
 

@@ -44,44 +44,52 @@ def compute_model_loss(net_type: str, master: MasterLoss, outputs: dict,
 
     total = jnp.zeros((), jnp.float32)
     holder = None
+
+    def acc(t_i, h_i, total, holder):
+        total = total + t_i
+        holder = h_i if holder is None else \
+            {k: holder[k] + h_i[k] for k in holder}
+        return total, holder
+
     if net_type in (constants.SRFBN,):
-        # curriculum: every step's output vs the full-res target.
+        # curriculum: every unrolled step's output vs the full-res
+        # target, averaged over steps (loss_srfbn:202).
         for o in inter:
             t_i, h_i = master({**outputs, 'out': o}, batch, params,
                               epoch, elb_t)
-            total = total + t_i
-            holder = h_i if holder is None else \
-                {k: holder[k] + h_i[k] for k in holder}
-    elif net_type in (constants.MSLAPSR, constants.PROSR):
-        # progressive: level outputs vs bicubic-downscaled targets.
+            total, holder = acc(t_i, h_i, total, holder)
+        n = float(len(inter))
+        return total / n, {k: v / n for k, v in holder.items()}
+    if net_type in (constants.MSLAPSR, constants.PROSR):
+        # progressive: final loss + per-level losses vs bicubic
+        # (align_corners=True) downscaled targets, averaged over len+1
+        # (loss_prosr:236 / loss_mslaprs:277).
+        t_i, h_i = master(outputs, batch, params, epoch, elb_t)
+        total, holder = acc(t_i, h_i, total, holder)
         for o in inter:
             hh, ww = o.shape[-2], o.shape[-1]
-            if (hh, ww) != (target.shape[-2], target.shape[-1]):
-                t_lvl = jnp.clip(resize2d(target, (hh, ww)), 0.0, 1.0)
-            else:
-                t_lvl = target
-            b_lvl = {**batch, 'h_im': t_lvl}
-            if 'h_per_pixel_weight' in b_lvl and \
-                    t_lvl.shape != target.shape:
-                b_lvl = {k: v for k, v in b_lvl.items()
-                         if k != 'h_per_pixel_weight'}
+            t_lvl = jnp.clip(
+                resize2d(target, (hh, ww), align_corners=True), 0.0, 1.0)
+            b_lvl = {k: v for k, v in batch.items()
+                     if k != 'h_per_pixel_weight'}
+            b_lvl['h_im'] = t_lvl
             t_i, h_i = master({**outputs, 'out': o}, b_lvl, params,
                               epoch, elb_t)
-            total = total + t_i
-            holder = h_i if holder is None else \
-                {k: holder[k] + h_i[k] for k in holder}
-    else:
-        return master(outputs, batch, params, epoch, elb_t)
-    return total, holder
+            total, holder = acc(t_i, h_i, total, holder)
+        n = float(len(inter) + 1)
+        return total / n, {k: v / n for k, v in holder.items()}
+    return master(outputs, batch, params, epoch, elb_t)
 
 
 def make_train_step(model, master: MasterLoss, tx, net_type: str,
                     pipe_cfg: P.PipeConfig, e_decay: float = 0.0,
                     steps_per_epoch: int = 1,
                     ppiw_table: Optional[jax.Array] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, mesh=None) -> Callable:
     """Build the jitted train step:
-    (state, hr_u8, lr_u8, idxs, key) -> (state, loss_holder, ok_flag)."""
+    (state, hr_u8, lr_u8, idxs, key) -> (state, loss_holder, ok_flag).
+    With a mesh, batch indices are sharded over the 'data' axis and XLA
+    all-reduces gradients over ICI (parallel/mesh.shard_train_step)."""
 
     def step_fn(state: TrainState, hr_u8, lr_u8, idxs, key):
         epoch = state.step // steps_per_epoch
@@ -123,6 +131,9 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
                                   ema_params=new_ema)
         return new_state, holder, ok & ~corrupt
 
+    if mesh is not None:
+        from srcaco2_tpu.parallel.mesh import shard_train_step
+        return shard_train_step(step_fn, mesh)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

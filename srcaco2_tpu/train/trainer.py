@@ -126,10 +126,18 @@ class Experiment:
                 self.train_ds.hr,
                 float(args.get('ppiw_min_per_col_w', 0.001))))
 
+        self.mesh = None
+        if args.get('distributed', False):
+            from srcaco2_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(args)
+            dsize = self.mesh.shape[constants.DATA_AXIS]
+            assert bs % dsize == 0, \
+                f'batch_size {bs} not divisible by data axis {dsize}'
+            DLLogger.log(f'mesh: {dict(self.mesh.shape)}')
         self.train_step = make_train_step(
             self.model, self.master, self.tx, nt, self.pipe_cfg,
             e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
-            ppiw_table=self.ppiw_table)
+            ppiw_table=self.ppiw_table, mesh=self.mesh)
         self.forward = make_eval_forward(self.model, nt,
                                          int(args['scale']))
         self.interp_forward = make_interpolate_forward(

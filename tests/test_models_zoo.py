@@ -1,0 +1,123 @@
+"""Shape + finiteness tests for the model zoo (tiny configs)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _run(model, shape=(1, 1, 8, 8), rngs=None):
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, shape).astype(np.float32))
+    params = model.init(jax.random.key(0), x, train=False)['params']
+    var = {'params': params}
+    out = model.apply(var, x, train=False,
+                      rngs=rngs) if rngs else model.apply(var, x,
+                                                          train=False)
+    assert np.all(np.isfinite(np.asarray(out['out'])))
+    return out, params
+
+
+def test_srcnn():
+    from srcaco2_tpu.models.cnn_pre import SRCNN
+    out, _ = _run(SRCNN(in_chans=1), (2, 1, 16, 16))
+    assert out['out'].shape == (2, 1, 16, 16)
+
+
+def test_vdsr():
+    from srcaco2_tpu.models.cnn_pre import VDSR
+    out, _ = _run(VDSR(in_chans=1, upscale=2), (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+    assert out['x_interp'].shape == (1, 1, 16, 16)
+    assert out['global_residual'].shape == (1, 1, 16, 16)
+
+
+def test_drrn():
+    from srcaco2_tpu.models.cnn_pre import DRRN
+    out, _ = _run(DRRN(in_chans=1, upscale=2, num_residual_units=3,
+                       features=16), (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+def test_drrn_weight_sharing():
+    """The recursive unit must reuse the same conv params."""
+    from srcaco2_tpu.models.cnn_pre import DRRN
+    m = DRRN(in_chans=1, upscale=2, num_residual_units=3, features=16)
+    x = jnp.zeros((1, 1, 8, 8))
+    params = m.init(jax.random.key(0), x, train=False)['params']
+    names = [k for k in params if k.startswith('rec')]
+    assert sorted(names) == ['rec1', 'rec2']
+
+
+def test_memnet():
+    from srcaco2_tpu.models.cnn_pre import MemNet
+    out, _ = _run(MemNet(in_chans=1, upscale=2, num_memory_blocks=2,
+                         num_residual_blocks=2, features=16),
+                  (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+def test_dfcan():
+    from srcaco2_tpu.models.dfcan import DFCAN
+    out, _ = _run(DFCAN(in_chans=1, upscale=4, n_resgroups=2),
+                  (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 32, 32)
+    v = np.asarray(out['out'])
+    assert v.min() >= 0.0 and v.max() <= 1.0  # sigmoid output
+
+
+def test_nlsn():
+    from srcaco2_tpu.models.nlsn import NLSN
+    m = NLSN(in_chans=1, upscale=2, n_resblocks=8, n_feats=16,
+             n_hashes=2, chunk_size=16, res_scale=0.1)
+    out, _ = _run(m, (1, 1, 8, 8),
+                  rngs={'lsh': jax.random.key(5)})
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+def test_enlcn():
+    from srcaco2_tpu.models.enlcn import ENLCN
+    m = ENLCN(in_chans=1, upscale=2, n_resblocks=8, n_feats=16,
+              res_scale=0.1)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+@pytest.mark.parametrize('scale', [2, 8])
+def test_dbpn(scale):
+    from srcaco2_tpu.models.dbpn import DBPN
+    m = DBPN(in_chans=1, upscale=scale, base_filter=8, feat=16,
+             num_stages=2)
+    out, _ = _run(m, (1, 1, 4, 4))
+    assert out['out'].shape == (1, 1, 4 * scale, 4 * scale)
+
+
+@pytest.mark.parametrize('scale,n_inter', [(2, 0), (4, 1), (8, 2)])
+def test_mslapsr(scale, n_inter):
+    from srcaco2_tpu.models.mslapsr import MSLapSRN
+    m = MSLapSRN(in_chans=1, upscale=scale)
+    out, _ = _run(m, (1, 1, 4, 4))
+    assert out['out'].shape == (1, 1, 4 * scale, 4 * scale)
+    assert len(out['intermediate_outs']) == n_inter
+    for i, o in enumerate(out['intermediate_outs']):
+        assert o.shape == (1, 1, 4 * 2 ** (i + 1), 4 * 2 ** (i + 1))
+
+
+def test_srfbn():
+    from srcaco2_tpu.models.srfbn import SRFBN
+    m = SRFBN(in_chans=1, upscale=2, num_features=8, num_steps=3,
+              num_groups=2)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+    assert len(out['intermediate_outs']) == 3
+    # final equals last intermediate
+    np.testing.assert_array_equal(np.asarray(out['out']),
+                                  np.asarray(out['intermediate_outs'][-1]))
+
+
+def test_interpolate_baseline():
+    from srcaco2_tpu.models.interpolate import interpolate_model
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 1, 8, 8)).astype(np.float32))
+    out = interpolate_model(x, 4)['out']
+    assert out.shape == (2, 1, 32, 32)

@@ -1,0 +1,101 @@
+"""Multi-device data parallelism on the virtual 8-CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.parallel.mesh import (data_sharded, make_mesh,
+                                       replicated)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(data=8, model=1)
+    assert mesh.shape[constants.DATA_AXIS] == 8
+    assert mesh.shape[constants.MODEL_AXIS] == 1
+
+
+def test_dryrun_multichip_entry():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', '/root/repo/__graft_entry__.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_dp_step_matches_single_device():
+    """Gradient all-reduce over the mesh must give the same update as a
+    single-device step on the same batch."""
+    from srcaco2_tpu.config.defaults import get_config
+    from srcaco2_tpu.data import pipeline as P
+    from srcaco2_tpu.losses.master import build_loss
+    from srcaco2_tpu.models.cnn_pre import SRCNN
+    from srcaco2_tpu.train.schedule import build_optimizer
+    from srcaco2_tpu.train.state import TrainState
+    from srcaco2_tpu.train.steps import make_train_step
+
+    args = get_config(constants.SRCNN)
+    args['l2'] = True
+    master = build_loss(args)
+    tx = build_optimizer(args['train'])
+    model = SRCNN(in_chans=1)
+    x0 = jnp.zeros((1, 1, 16, 16), jnp.float32)
+    params = model.init(jax.random.key(0), x0, train=False)['params']
+    pipe_cfg = P.PipeConfig(scale=2, h_size=16)
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 1)), jnp.uint8)
+    lr = jnp.asarray(rng.integers(0, 256, (8, 16, 16, 1)), jnp.uint8)
+    idxs = jnp.arange(8, dtype=jnp.int32)
+    key = jax.random.key(3)
+
+    # single device
+    st1 = TrainState.create(params, tx)
+    step1 = make_train_step(model, master, tx, constants.SRCNN, pipe_cfg,
+                            donate=False)
+    out1, h1, ok1 = step1(st1, hr, lr, idxs, key)
+
+    # 8-device mesh
+    mesh = make_mesh(data=8)
+    st2 = jax.device_put(TrainState.create(params, tx), replicated(mesh))
+    step8 = make_train_step(model, master, tx, constants.SRCNN, pipe_cfg,
+                            mesh=mesh)
+    out8, h8, ok8 = step8(st2,
+                          jax.device_put(hr, replicated(mesh)),
+                          jax.device_put(lr, replicated(mesh)),
+                          jax.device_put(idxs, data_sharded(mesh)),
+                          key)
+    assert bool(ok1) and bool(ok8)
+    np.testing.assert_allclose(float(h1['total']), float(h8['total']),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(out1.params)
+    l8 = jax.tree_util.tree_leaves(out8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_swinir_forward_shapes():
+    from srcaco2_tpu.models.swinir import SwinIR
+    model = SwinIR(in_chans=1, upscale=8, window_size=4, embed_dim=8,
+                   depths=(2, 2), num_heads=(2, 2),
+                   upsampler=constants.US_PIXEL_SHUFFLE_DIRECT)
+    x = jnp.zeros((2, 1, 16, 16), jnp.float32)
+    params = model.init(jax.random.key(0), x, train=False)['params']
+    out = model.apply({'params': params}, x, train=False)['out']
+    assert out.shape == (2, 1, 128, 128)
+    # non-window-multiple input exercises the reflect pad path
+    x2 = jnp.zeros((1, 1, 15, 13), jnp.float32)
+    out2 = model.apply({'params': params}, x2, train=False)['out']
+    assert out2.shape == (1, 1, 120, 104)
+
+
+def test_swinir_pixelshuffle_upsampler():
+    from srcaco2_tpu.models.swinir import SwinIR
+    model = SwinIR(in_chans=1, upscale=2, window_size=4, embed_dim=8,
+                   depths=(2,), num_heads=(2,),
+                   upsampler=constants.US_PIXEL_SHUFFLE)
+    x = jnp.zeros((1, 1, 8, 8), jnp.float32)
+    params = model.init(jax.random.key(0), x, train=False)['params']
+    out = model.apply({'params': params}, x, train=False)['out']
+    assert out.shape == (1, 1, 16, 16)
