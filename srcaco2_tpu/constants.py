@@ -208,6 +208,18 @@ SPLINEHIDDEN['snet_type1'] = [16]
 NET_TYPE_UNET = 'unet'
 NET_TYPE_PYRAMID = 'pyramid'
 
+# small-CNN layer configs for the CSR-CNN 'snet_type*' variants.
+NETS_CNN = {
+    'snet_type1': [32],
+    'snet_type2': [32, 32],
+    'snet_type3': [256, 256, 256],
+    'snet_type4': [32] * 4,
+    'snet_type5': [32] * 5,
+    'snet_type6': [32] * 6,
+    'snet_type7': [32] * 7,
+    'snet_type8': [32] * 8,
+}
+
 RELU = 'RELU'
 TANH = 'TANH'
 NONE_ACTIV = 'None'

@@ -24,11 +24,16 @@ from srcaco2_tpu.ops.resize import resize2d
 from srcaco2_tpu.train.state import TrainState, all_finite, ema_update
 
 
-def net_input(net_type: str, batch: dict) -> jax.Array:
+def net_input(net_type: str, batch: dict, netG: dict = None) -> jax.Array:
     """Pre-upsampling nets consume the bicubic pre-upscale
-    (model_plain.py:196: SRCNN and non-pyramid CSRCNN)."""
+    (model_plain.py:186: SRCNN and non-pyramid CSR-CNN)."""
     if net_type in constants.PRE_UPSAMPLED_INPUT_NETS:
         return batch['l_to_h_img']
+    if net_type == constants.CSRCNN:
+        sub = (netG or {}).get('csrcnn_net_type',
+                               constants.NET_TYPE_UNET)
+        if sub != constants.NET_TYPE_PYRAMID:
+            return batch['l_to_h_img']
     return batch['l_im']
 
 
@@ -85,7 +90,8 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
                     pipe_cfg: P.PipeConfig, e_decay: float = 0.0,
                     steps_per_epoch: int = 1,
                     ppiw_table: Optional[jax.Array] = None,
-                    donate: bool = True, mesh=None) -> Callable:
+                    donate: bool = True, mesh=None,
+                    netG: dict = None) -> Callable:
     """Build the jitted train step:
     (state, hr_u8, lr_u8, idxs, key) -> (state, loss_holder, ok_flag).
     With a mesh, batch indices are sharded over the 'data' axis and XLA
@@ -96,7 +102,7 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         skey = jax.random.fold_in(key, state.step)
         batch = P.make_train_batch(hr_u8, lr_u8, idxs, skey, pipe_cfg,
                                    ppiw_table)
-        x = net_input(net_type, batch)
+        x = net_input(net_type, batch, netG)
 
         def loss_fn(params):
             outputs = model.apply({'params': params}, x, train=True)
@@ -138,7 +144,8 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
 
 
 def make_eval_forward(model, net_type: str, scale: int,
-                      use_ema: bool = False) -> Callable:
+                      use_ema: bool = False,
+                      netG: dict = None) -> Callable:
     """Jitted full-image forward: (params, batch) -> uint8-rounded
     prediction in [0,255] NCHW. Window-padded models (SwinIR/GRL) pad
     internally with static shapes, replacing _forward_with_padding
@@ -146,7 +153,7 @@ def make_eval_forward(model, net_type: str, scale: int,
 
     @jax.jit
     def fwd(params, batch):
-        x = net_input(net_type, batch)
+        x = net_input(net_type, batch, netG)
         out = model.apply({'params': params}, x, train=False)['out']
         return jnp.clip(jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0),
                         0.0, 255.0)

@@ -137,9 +137,11 @@ class Experiment:
         self.train_step = make_train_step(
             self.model, self.master, self.tx, nt, self.pipe_cfg,
             e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
-            ppiw_table=self.ppiw_table, mesh=self.mesh)
+            ppiw_table=self.ppiw_table, mesh=self.mesh,
+            netG=args['netG'])
         self.forward = make_eval_forward(self.model, nt,
-                                         int(args['scale']))
+                                         int(args['scale']),
+                                         netG=args['netG'])
         self.interp_forward = make_interpolate_forward(
             int(args['scale']), args.get('basic_interpolation',
                                          constants.INTER_BICUBIC))

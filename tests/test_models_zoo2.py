@@ -1,0 +1,161 @@
+"""Shape + finiteness tests for the remaining zoo (tiny configs)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srcaco2_tpu import constants
+
+
+def _run(model, shape=(1, 1, 8, 8)):
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, shape).astype(np.float32))
+    params = model.init(jax.random.key(0), x, train=False)['params']
+    out = model.apply({'params': params}, x, train=False)
+    assert np.all(np.isfinite(np.asarray(out['out'])))
+    return out, params
+
+
+def test_omnisr():
+    from srcaco2_tpu.models.omnisr import OmniSR
+    m = OmniSR(in_chans=1, upscale=2, num_feat=16, res_num=1,
+               block_num=1, window_size=4, pe=True)
+    out, _ = _run(m, (1, 1, 16, 16))
+    assert out['out'].shape == (1, 1, 32, 32)
+    # non-multiple input exercises the zero pad
+    x = jnp.zeros((1, 1, 14, 15))
+    p = m.init(jax.random.key(0), x, train=False)['params']
+    o = m.apply({'params': p}, x, train=False)['out']
+    assert o.shape == (1, 1, 28, 30)
+
+
+def test_act():
+    from srcaco2_tpu.models.act import ACT
+    m = ACT(in_chans=1, upscale=2, n_feats=8, n_resgroups=2,
+            n_resblocks=2, reduction=4, n_heads=4, n_layers=4,
+            n_fusionblocks=2, token_size=3, expansion_ratio=2)
+    out, _ = _run(m, (1, 1, 9, 9))
+    assert out['out'].shape == (1, 1, 18, 18)
+
+
+@pytest.mark.parametrize('scale,n_inter', [(2, 0), (8, 2)])
+def test_prosr(scale, n_inter):
+    from srcaco2_tpu.models.prosr import ProSR
+    m = ProSR(in_chans=1, upscale=scale, num_init_features=16,
+              growth_rate=8, bn_size=2,
+              level_config={2: [[2]], 4: [[2], [2]],
+                            8: [[2, 2], [2], [2]]})
+    out, _ = _run(m, (1, 1, 4, 4))
+    assert out['out'].shape == (1, 1, 4 * scale, 4 * scale)
+    assert len(out['intermediate_outs']) == n_inter
+
+
+def test_grl():
+    from srcaco2_tpu.models.grl import GRL
+    m = GRL(in_chans=1, upscale=2, window_size=4, embed_dim=16,
+            depths=(2,), num_heads_window=(2,), num_heads_stripe=(2,),
+            mlp_ratio=2.0, stripe_size=(4, 4),
+            anchor_window_down_factor=2, local_connection=True,
+            upsampler=constants.US_PIXEL_SHUFFLE_DIRECT)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+    # reflect-pad path on non-multiple input
+    x = jnp.zeros((1, 1, 7, 6))
+    p = m.init(jax.random.key(0), x, train=False)['params']
+    o = m.apply({'params': p}, x, train=False)['out']
+    assert o.shape == (1, 1, 14, 12)
+
+
+def test_edsr_liif():
+    from srcaco2_tpu.models.edsr_liif import EDSRLIIF
+    m = EDSRLIIF(in_chans=1, upscale=4, n_feats=16, n_resblocks=2)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 32, 32)
+
+
+def test_dsr_splines():
+    from srcaco2_tpu.models.dsr_splines import DSRSplines
+    m = DSRSplines(in_planes=1, upscale=2, n_splines_per_color=4,
+                   splinenet_type='snet_type1',
+                   use_global_residual=True)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+    assert 'global_residual' in out and 'x_interp' in out
+
+
+def test_dsr_splines_masks_partition():
+    """Every pixel belongs to exactly one spline's knot interval."""
+    from srcaco2_tpu.models.dsr_splines import make_knots
+    knots = make_knots(0, 255, 16)
+    assert knots[0][0] == 0 and knots[-1][1] == 255
+    covered = sum(hi - lo + 1 for lo, hi in knots)
+    assert covered == 256
+
+
+def test_csrcnn_unet_regression():
+    from srcaco2_tpu.models.csrcnn import CSRCNN
+    m = CSRCNN(in_planes=1, upscale=2, net_type=constants.NET_TYPE_UNET,
+               inner_channel=8, res_blocks=1)
+    out, _ = _run(m, (1, 1, 16, 16))   # fed HR-sized l_to_h
+    assert out['out'].shape == (1, 1, 16, 16)
+    assert 'global_residual' in out
+
+
+def test_csrcnn_unet_segmentation():
+    from srcaco2_tpu.models.csrcnn import CSRCNN
+    m = CSRCNN(in_planes=1, upscale=2, net_type=constants.NET_TYPE_UNET,
+               inner_channel=8, res_blocks=1, use_global_residual=False,
+               net_task=constants.SEGMENTATION)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 1, 16, 16)).astype(np.float32))
+    params = m.init(jax.random.key(0), x, train=False)['params']
+    out = m.apply({'params': params}, x, train=True)
+    assert out['raw_segmentation'].shape == (1, 256, 16, 16)
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+def test_csrcnn_pyramid():
+    from srcaco2_tpu.models.csrcnn import CSRCNN
+    m = CSRCNN(in_planes=1, upscale=2,
+               net_type=constants.NET_TYPE_PYRAMID,
+               inner_channel=8, res_blocks=1,
+               use_global_residual=True)
+    out, _ = _run(m, (1, 1, 8, 8))
+    assert out['out'].shape == (1, 1, 16, 16)
+
+
+def test_patches_roundtrip():
+    from srcaco2_tpu.ops.patches import (fold_k2s, fold_nonoverlap,
+                                         unfold_k2s, unfold_nonoverlap)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 12, 9, 4)).astype(np.float32))
+    t = unfold_nonoverlap(x, 3)
+    assert t.shape == (2, 12, 36)
+    np.testing.assert_allclose(np.asarray(fold_nonoverlap(t, 3, (12, 9))),
+                               np.asarray(x), atol=1e-6)
+    t2 = unfold_k2s(x, 3)
+    assert t2.shape == (2, 3 * 2, 4 * 36)
+    # fold(unfold(x)) = x weighted by per-pixel coverage counts
+    back = np.asarray(fold_k2s(t2, 3, (12, 9)))
+    cov = np.asarray(fold_k2s(jnp.ones_like(t2) *
+                              unfold_k2s(jnp.ones_like(x), 3), 3,
+                              (12, 9)))
+    np.testing.assert_allclose(back, np.asarray(x) * cov, atol=1e-5)
+
+
+def test_all_models_via_registry():
+    """define_g builds every registered net from its default config."""
+    from srcaco2_tpu.config.defaults import get_config
+    from srcaco2_tpu.models.registry import define_g
+    for nt in constants.MODELS:
+        cfg = get_config(nt)
+        cfg['n_channels'] = 1
+        cfg['scale'] = 2
+        cfg['h_size'] = 32
+        from srcaco2_tpu.config.net_defaults import init_net_g
+        cfg['netG']['net_type'] = nt
+        cfg['netG'] = init_net_g({'net_type': nt,
+                                  'net_task': constants.REGRESSION}, cfg)
+        model = define_g(cfg)
+        assert model is not None, nt
