@@ -157,6 +157,12 @@ def load_dataset(args, ds_name: str, phase: str, n: int = -1,
 
     args needs: data_root, splits_root, scale, n_channels, myseed,
     use_interpolated_low, inter_low_th, inter_low_sigma, num_workers.
+
+    task == 'reconstruct' (reference: reconstruct_type=low_res,
+    reconstruct_input=fake — dataset_dpsr.py:972-1005): the pair becomes
+    (blur-chain(LR) -> LR) at scale 1, so the whole SR machinery (crops,
+    augs, metrics at border=scale) reuses unchanged with hr := real LR
+    and lr := blurred LR.
     """
     split, scale, _ = constants.parse_caco2_name(ds_name)
     assert scale == args['scale'], (scale, args['scale'])
@@ -192,6 +198,16 @@ def load_dataset(args, ds_name: str, phase: str, n: int = -1,
         lr_is_real = True
 
     assert lr.shape[1] * scale == hr.shape[1], (lr.shape, hr.shape)
+
+    if args.get('task') == constants.RECONSTRUCT:
+        # fake blurred LR -> real LR, at scale 1.
+        blurred = np.clip(np.round(blur_true_lr(lr) * 255.0), 0,
+                          255).astype(np.uint8)
+        return SRDataset(name=ds_name, phase=phase, scale=1,
+                         n_channels=nch, hr=lr, lr=blurred, ids=ids,
+                         h_paths=l_paths, l_paths=l_paths,
+                         lr_is_real=lr_is_real)
+
     return SRDataset(name=ds_name, phase=phase, scale=scale,
                      n_channels=nch, hr=hr, lr=lr, ids=ids,
                      h_paths=h_paths, l_paths=l_paths,

@@ -18,13 +18,17 @@ from srcaco2_tpu.data import io as dio
 def _cell_image(rng: np.random.Generator, size: int = 512,
                 n_blobs=(6, 18)) -> np.ndarray:
     """One synthetic fluorescence tile: gaussian blobs + faint background
-    noise, uint8 HxW."""
+    noise, uint8 HxW. Blob count and size scale with the tile area so
+    small test tiles do not saturate."""
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     img = np.zeros((size, size), np.float32)
-    for _ in range(int(rng.integers(*n_blobs))):
+    rel = size / 512.0
+    lo = max(1, int(n_blobs[0] * rel * rel * 4))
+    hi = max(lo + 1, int(n_blobs[1] * rel * rel * 4))
+    for _ in range(int(rng.integers(lo, hi))):
         cy = rng.uniform(0.1 * size, 0.9 * size)
         cx = rng.uniform(0.1 * size, 0.9 * size)
-        sy = rng.uniform(6, 60)
+        sy = rng.uniform(6, 60) * max(rel, 0.15)
         sx = sy * rng.uniform(0.6, 1.6)
         amp = rng.uniform(40, 230)
         ang = rng.uniform(0, np.pi)

@@ -90,10 +90,22 @@ class Experiment:
             for n in str(args['test_dsets']).split(SEP) if n]
 
         # model + loss + optimizer ------------------------------------
+        if args.get('task') == constants.RECONSTRUCT:
+            # reconstruct = scale-1 (blurred LR -> LR); the net must not
+            # upscale, and crops live on the LR grid (dataset.py maps
+            # the pairs accordingly).
+            snt0 = safe_str_var(nt)
+            if f'{snt0}_upscale' in args['netG']:
+                args['netG'][f'{snt0}_upscale'] = 1
         self.model = define_g(args)
         self.master = build_loss(args)
         self.tx = build_optimizer(args['train'])
         self.pipe_cfg = P.from_args(args)
+        if args.get('task') == constants.RECONSTRUCT:
+            from dataclasses import replace as _dc_replace
+            self.pipe_cfg = _dc_replace(
+                self.pipe_cfg, scale=1,
+                h_size=args['h_size'] // args['scale'])
 
         bs = int(args['batch_size'])
         self.batch_size = bs
@@ -101,7 +113,8 @@ class Experiment:
 
         key = jax.random.key(int(args.get('myseed', 0)))
         self.root_key = key
-        in_hw = args['h_size'] if nt in constants.PRE_UPSAMPLED_INPUT_NETS \
+        in_hw = self.pipe_cfg.h_size \
+            if nt in constants.PRE_UPSAMPLED_INPUT_NETS \
             else self.pipe_cfg.l_size
         sample = jnp.zeros((1, args['n_channels'], in_hw, in_hw),
                            jnp.float32)
@@ -143,8 +156,8 @@ class Experiment:
                                          int(args['scale']),
                                          netG=args['netG'])
         self.interp_forward = make_interpolate_forward(
-            int(args['scale']), args.get('basic_interpolation',
-                                         constants.INTER_BICUBIC))
+            int(self.pipe_cfg.scale),
+            args.get('basic_interpolation', constants.INTER_BICUBIC))
 
         # tracker ------------------------------------------------------
         eval_names = [d.name for d in self.valid_sets] + \
