@@ -54,6 +54,8 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
         "save_dir_imgs": 'images',
         "data_root": '',
         "splits_root": '',
+        "scratch_root": '',   # durable mirror target on preemptible
+                              # clusters (reference: CC $SCRATCH sync).
         "model_select_mtr": constants.PSNR_MTR,
         "basic_interpolation": constants.INTER_BICUBIC,
         "use_interpolated_low": False,

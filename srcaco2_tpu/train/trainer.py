@@ -341,6 +341,16 @@ class Experiment:
                 if plot_epoch_freq and new_epoch % plot_epoch_freq == 0 \
                         and args.get('is_master', True):
                     T.plot_tracker(self.tracker, self.exp_dir)
+                # preemptible-cluster mirror (reference: CC scratch sync,
+                # utils_trainer.py:473).
+                sync_freq = int(args['train'].get(
+                    'synch_scratch_epoch_freq', 0) or 0)
+                if sync_freq and new_epoch % sync_freq == 0:
+                    from srcaco2_tpu.utils.cluster import (
+                        is_cluster, sync_exp_to_durable)
+                    if is_cluster() and args.get('scratch_root'):
+                        sync_exp_to_durable(self.exp_dir,
+                                            args['scratch_root'])
                 last_epoch = new_epoch
 
         # final: save, validate, test, plots ---------------------------
