@@ -184,8 +184,6 @@ def _sample_origin(key: jax.Array, l2h_u8: jax.Array,
         x0 = jax.random.randint(kx, (), 0, max(0, h - psize) + 1)
         y0 = jax.random.randint(ky, (), 0, max(0, w - psize) + 1)
         return x0, y0
-    # ROI-weighted draw (EDT variants precompute host maps; see
-    # loaders.py which falls back to host sampling for those).
     if cfg.th_style == constants.TH_AUTO:
         th = otsu_threshold_device(l2h_u8)
     else:
@@ -193,10 +191,25 @@ def _sample_origin(key: jax.Array, l2h_u8: jax.Array,
     roi = (l2h_u8.astype(jnp.float32) >= th).astype(jnp.float32)
     lhalf = psize // 2
     rhalf = -(-psize // 2)
-    win = roi[lhalf:h - rhalf, lhalf:w - rhalf]
-    weights = jnp.exp(win * 5.0) + 1.0
+
+    def crop(m):
+        return m[lhalf:h - rhalf, lhalf:w - rhalf]
+
+    st = cfg.sample_tr_patch
+    if st == constants.SAMPLE_ROI:
+        weights = jnp.exp(crop(roi) * 5.0) + 1.0
+    elif st == constants.SAMPLE_EDT:
+        from srcaco2_tpu.data.sampling import edt_device
+        weights = crop(edt_device(roi)) + 1.0
+    elif st == constants.SAMPLE_EDTXROI:
+        from srcaco2_tpu.data.sampling import edt_device
+        wr = jnp.exp(crop(roi) * 5.0) + 1.0
+        we = crop(edt_device(roi)) + 1.0
+        weights = (wr / wr.sum()) * (we / we.sum())
+    else:
+        raise NotImplementedError(st)
     flat = jax.random.categorical(key, jnp.log(weights).ravel())
-    wh = win.shape[1]
+    wh = w - lhalf - rhalf
     return (flat // wh).astype(jnp.int32), (flat % wh).astype(jnp.int32)
 
 

@@ -131,6 +131,28 @@ def otsu_threshold_device(img_u8: jax.Array, nbins: int = 256) -> jax.Array:
     return jnp.where(vmax == vmin, vmin, th)
 
 
+def edt_device(roi: jax.Array, max_dist: int = 48) -> jax.Array:
+    """Chamfer approximation of the Euclidean distance transform on
+    device: distance = number of 3x3 erosions a pixel survives, capped
+    at max_dist. Exact EDT needs scipy (host, edt_map); this keeps the
+    EDT/EDT*ROI sampling strategies fully in-jit — the weight map
+    (edt+1) differs only for interior pixels deeper than max_dist."""
+    def body(dist_roi, _):
+        dist, r = dist_roi
+        # erode: a pixel survives if its 3x3 neighborhood is all ROI.
+        rp = jnp.pad(r, 1, mode='constant')
+        eroded = r
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                eroded = jnp.minimum(
+                    eroded, jax.lax.dynamic_slice(
+                        rp, (1 + dy, 1 + dx), r.shape))
+        return (dist + eroded, eroded), None
+
+    (dist, _), _ = jax.lax.scan(body, (roi, roi), None, length=max_dist)
+    return dist
+
+
 def sample_origin_device(key: jax.Array, img_u8: jax.Array, psize: int,
                          sample_type: str,
                          threshold_style: str = constants.TH_AUTO,

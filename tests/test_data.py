@@ -157,3 +157,30 @@ def test_epoch_indices_permutation():
     np.testing.assert_array_equal(p0, p0b)
     assert sorted(p0.tolist()) == list(range(10))
     assert not np.array_equal(p0, p1)
+
+
+def test_edt_device_matches_scipy():
+    from scipy.ndimage import distance_transform_edt
+    from srcaco2_tpu.data.sampling import edt_device
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:64, 0:64]
+    roi = (((yy - 32) ** 2 + (xx - 30) ** 2) < 400).astype(np.float32)
+    got = np.asarray(edt_device(jnp.asarray(roi)))
+    want = distance_transform_edt(roi)
+    # chamfer-style approximation: high rank correlation inside the ROI
+    m = roi > 0
+    corr = np.corrcoef(got[m], want[m])[0, 1]
+    assert corr > 0.95, corr
+    assert got[~m].max() == 0
+
+
+def test_edt_sampling_modes_run(synth_root):
+    root, names = synth_root
+    from srcaco2_tpu.data.dataset import load_dataset
+    ds = load_dataset(_args(root), names[0], 'train').stage()
+    for st in (constants.SAMPLE_EDT, constants.SAMPLE_EDTXROI):
+        cfg = P.PipeConfig(scale=2, h_size=32, sample_tr_patch=st)
+        b = P.make_train_batch(ds.hr_dev, ds.lr_dev,
+                               jnp.zeros(4, jnp.int32),
+                               jax.random.key(0), cfg)
+        assert np.all(np.isfinite(np.asarray(b['h_im'])))
