@@ -61,7 +61,7 @@ def main():
                        num_heads=(6, 6, 6, 6, 6, 6), mlp_ratio=2.0,
                        upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
                        dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
-        batch = ns.batch or 64
+        batch = ns.batch or 64   # best measured config on v5e
         steps = ns.steps
 
     args = get_config(constants.SWINIR)
