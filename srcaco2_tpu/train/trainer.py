@@ -303,6 +303,22 @@ class Experiment:
                                                 idxs, key)
             step += 1
 
+            # periodic weight regularizers (model_plain.py:365-387).
+            orthstep = int(args['train'].get('G_regularizer_orthstep',
+                                             0) or 0)
+            clipstep = int(args['train'].get('G_regularizer_clipstep',
+                                             0) or 0)
+            if orthstep > 0 and step % orthstep == 0:
+                from srcaco2_tpu.train.regularizers import \
+                    regularizer_orth
+                state = state.replace(
+                    params=regularizer_orth(state.params))
+            if clipstep > 0 and step % clipstep == 0:
+                from srcaco2_tpu.train.regularizers import \
+                    regularizer_clip
+                state = state.replace(
+                    params=regularizer_clip(state.params))
+
             for name, v in holder.items():
                 epoch_losses.setdefault(name, []).append(v)
 

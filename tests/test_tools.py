@@ -115,3 +115,41 @@ def test_phase_correlation_registration():
     assert round(dy) == -3 and round(dx) == 5
     back = np.roll(np.roll(shifted, int(dy), axis=0), int(dx), axis=1)
     np.testing.assert_array_equal(back, img)
+
+
+def test_augmenter_perturbate():
+    from srcaco2_tpu.data.augmenter import Augment
+    rng = np.random.default_rng(0)
+    hr = _cell_image(rng, 64).astype(np.float64)
+    lr = hr[::4, ::4]
+    aug = Augment(upscale=4, nbr_steps=2, use_roi=False, seed=1)
+    out = aug.perturbate(lr, hr)
+    assert out.shape == hr.shape
+    assert 0 <= out.min() and out.max() <= 255
+    # noise was injected: differs from plain bicubic upscale
+    aug1 = Augment(upscale=4, nbr_steps=2, use_roi=False, seed=2)
+    out2 = aug1.perturbate(lr, hr)
+    assert np.abs(out - out2).mean() > 1e-3
+
+
+def test_regularizers():
+    import jax, jax.numpy as jnp
+    from srcaco2_tpu.train.regularizers import (regularizer_clip,
+                                                regularizer_orth)
+    params = {'conv': {'kernel': jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (3, 3, 4, 8)),
+        jnp.float32) * 3.0,
+        'bias': jnp.asarray([2.0, -2.0, 0.5, 0.0])}}
+    clipped = regularizer_clip(params)
+    assert float(clipped['conv']['bias'][0]) < 2.0
+    assert float(clipped['conv']['bias'][1]) > -2.0
+    assert float(clipped['conv']['bias'][2]) == 0.5
+    orth = regularizer_orth(params)
+    w0 = np.asarray(params['conv']['kernel']).reshape(-1, 8)
+    w1 = np.asarray(orth['conv']['kernel']).reshape(-1, 8)
+    s0 = np.linalg.svd(w0, compute_uv=False)
+    s1 = np.linalg.svd(w1, compute_uv=False)
+    assert s1.max() <= s0.max() + 1e-3  # outliers shrank (f32 tol)
+    # bias untouched by orth
+    np.testing.assert_array_equal(np.asarray(orth['conv']['bias']),
+                                  np.asarray(params['conv']['bias']))
