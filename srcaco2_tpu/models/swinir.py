@@ -73,11 +73,14 @@ def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with learned relative position bias."""
+    """W-MSA with learned relative position bias. use_pallas routes the
+    attention core through the fused VMEM kernel
+    (ops/pallas/window_attention.py; forward-only, eval path)."""
     dim: int
     window_size: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -94,18 +97,29 @@ class WindowAttention(nn.Module):
         bias = bias_table[idx].reshape(n, n, nh).transpose(2, 0, 1)
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name='qkv')(x)
-        qkv = qkv.reshape(bnw, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]        # (bnw, nh, n, hd)
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q * (hd ** -0.5), k)
-        attn = attn + bias.astype(attn.dtype)[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, nh, n, n) \
-                + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bnw, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        if self.use_pallas:
+            from srcaco2_tpu.ops.pallas.window_attention import \
+                window_attention_pallas
+            full_mask = None
+            if mask is not None:
+                nw = mask.shape[0]
+                full_mask = jnp.tile(mask.astype(qkv.dtype),
+                                     (bnw // nw, 1, 1))
+            out = window_attention_pallas(
+                qkv, bias.astype(qkv.dtype), full_mask, heads=nh)
+        else:
+            qkv = qkv.reshape(bnw, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]    # (bnw, nh, n, hd)
+            attn = jnp.einsum('bhnd,bhmd->bhnm', q * (hd ** -0.5), k)
+            attn = attn + bias.astype(attn.dtype)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, nh, n, n) \
+                    + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bnw, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         return nn.Dense(c, dtype=self.dtype, name='proj')(out)
 
 
@@ -116,6 +130,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +146,8 @@ class SwinBlock(nn.Module):
             mask = None
         yw = window_partition(y, ws)
         yw = WindowAttention(self.dim, ws, self.num_heads,
-                             dtype=self.dtype)(yw, mask)
+                             dtype=self.dtype,
+                             use_pallas=self.use_pallas)(yw, mask)
         y = window_reverse(yw, ws, h, w)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
@@ -154,6 +170,7 @@ class RSTB(nn.Module):
     mlp_ratio: float
     resi_connection: str = constants.R_CONNECTION_1CONV
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -161,7 +178,8 @@ class RSTB(nn.Module):
         for i in range(self.depth):
             shift = 0 if i % 2 == 0 else self.window_size // 2
             x = SwinBlock(self.dim, self.num_heads, self.window_size,
-                          shift, self.mlp_ratio, dtype=self.dtype)(x)
+                          shift, self.mlp_ratio, dtype=self.dtype,
+                          use_pallas=self.use_pallas)(x)
         if self.resi_connection == constants.R_CONNECTION_1CONV:
             x = Conv(self.dim, 3, dtype=self.dtype)(x)
         else:  # 3conv: compressed bottleneck
@@ -185,6 +203,7 @@ class SwinIR(nn.Module):
     upsampler: str = constants.US_PIXEL_SHUFFLE
     resi_connection: str = constants.R_CONNECTION_1CONV
     dtype: Dtype = jnp.float32
+    use_pallas_attn: bool = False
 
     def pad_to_window(self, x_nhwc):
         """Reflect-pad H,W to window multiples (check_image_size:908);
@@ -217,7 +236,8 @@ class SwinIR(nn.Module):
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
             body = RSTB(self.embed_dim, d, nh, self.window_size,
                         self.mlp_ratio, self.resi_connection,
-                        dtype=self.dtype, name=f'rstb{i}')(body)
+                        dtype=self.dtype, use_pallas=self.use_pallas_attn,
+                        name=f'rstb{i}')(body)
         body = nn.LayerNorm(dtype=self.dtype)(body)
         body = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_after_body')(body)
