@@ -112,3 +112,23 @@ def save_params(path: str, params):
 
 def load_params(path: str, template):
     return _CKPT.restore(os.path.abspath(path), item=template)
+
+
+def load_params_nonstrict(path: str, template):
+    """Non-strict restore (reference: model_base.load_network:183 with
+    strict=False — copy what matches, keep the template elsewhere).
+    Leaves present in the checkpoint with matching shapes are taken;
+    everything else keeps the template's value."""
+    import flax
+    raw = _CKPT.restore(os.path.abspath(path))
+    flat_t = flax.traverse_util.flatten_dict(template)
+    flat_r = flax.traverse_util.flatten_dict(raw) \
+        if isinstance(raw, dict) else {}
+    out = {}
+    for k, v in flat_t.items():
+        r = flat_r.get(k)
+        if r is not None and getattr(r, 'shape', None) == v.shape:
+            out[k] = jax.numpy.asarray(r, v.dtype)
+        else:
+            out[k] = v
+    return flax.traverse_util.unflatten_dict(out)

@@ -125,6 +125,15 @@ class Experiment:
         gain = float(args['netG'].get(f'{snt}_init_gain', 1.0))
         params = apply_init(params, scheme, gain,
                             jax.random.fold_in(key, 7))
+        # warm-start from pretrained weights (netG.init_pretrained_path;
+        # non-strict when G_param_strict is False — model_base.py:183).
+        pre = args['netG'].get('init_pretrained_path', '')
+        if pre:
+            if bool(args['train'].get('G_param_strict', True)):
+                params = CKPT.load_params(pre, params)
+            else:
+                params = CKPT.load_params_nonstrict(pre, params)
+            DLLogger.log(f'loaded pretrained weights from {pre}')
         DLLogger.log(f'netG {nt}: {count_params(params):,} params')
 
         e_decay = float(args['train'].get('E_decay', 0.0) or 0.0)
@@ -236,6 +245,20 @@ class Experiment:
                              int(args['eval_bsize']), constants.TESTSET,
                              save_img_dir=img_dir, current_step=step)
             log_perf(f'test/{ds.name}@{step}', perf)
+            if args.get('is_master', True):
+                # per-image metric dump for offline verification
+                # (reference: details_*.yml, utils_trainer.py:253).
+                dd = os.path.join(self.exp_dir, 'best-models')
+                os.makedirs(dd, exist_ok=True)
+                with open(os.path.join(
+                        dd, f'details_test_{ds.name}.yml'.replace(
+                            '/', '_')), 'w') as f:
+                    yaml.safe_dump(perf['details'], f)
+                if 'roi_details' in perf:
+                    with open(os.path.join(
+                            dd, f'details_test_roi_{ds.name}.yml'
+                            .replace('/', '_')), 'w') as f:
+                        yaml.safe_dump(perf['roi_details'], f)
             T.update_tracker_eval(self.tracker, constants.TESTSET,
                                   ds.name, perf['full'], step,
                                   args['model_select_mtr'])
