@@ -33,6 +33,17 @@ def main():
     ns = ap.parse_args()
 
     import jax
+    # persistent compile cache: the flagship program takes minutes to
+    # compile via the remote-compile relay; cache across processes.
+    try:
+        cache_dir = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), '.jax_cache')
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from srcaco2_tpu import constants
     from srcaco2_tpu.config.defaults import get_config
