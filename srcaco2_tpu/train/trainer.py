@@ -164,6 +164,27 @@ class Experiment:
         self.forward = make_eval_forward(self.model, nt,
                                          int(args['scale']),
                                          netG=args['netG'])
+        if self.mesh is not None and \
+                int(args['eval_bsize']) % \
+                self.mesh.shape[constants.DATA_AXIS] == 0:
+            # shard full-image eval batches over the data axis too
+            # (requires eval_bsize divisible by the data axis; smaller
+            # eval batches fall back to the replicated forward).
+            from srcaco2_tpu.parallel.mesh import shard_eval_forward
+            from srcaco2_tpu.train.steps import net_input
+            from srcaco2_tpu.ops.metrics import uint8_round as _u8
+            model = self.model
+            netG = args['netG']
+
+            def _fwd(params, batch):
+                x = net_input(nt, batch, netG)
+                out = model.apply({'params': params}, x,
+                                  train=False)['out']
+                return jnp.clip(
+                    jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0),
+                    0.0, 255.0)
+
+            self.forward = shard_eval_forward(_fwd, self.mesh)
         self.interp_forward = make_interpolate_forward(
             int(self.pipe_cfg.scale),
             args.get('basic_interpolation', constants.INTER_BICUBIC))

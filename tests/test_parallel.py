@@ -99,3 +99,31 @@ def test_swinir_pixelshuffle_upsampler():
     params = model.init(jax.random.key(0), x, train=False)['params']
     out = model.apply({'params': params}, x, train=False)['out']
     assert out.shape == (1, 1, 16, 16)
+
+
+def test_distributed_experiment_e2e(tmp_path):
+    """Full Experiment with distributed=True on the 8-dev CPU mesh."""
+    import os
+    from srcaco2_tpu.config.parser import get_args
+    from srcaco2_tpu.data.synthetic import make_synthetic_dataset
+    from srcaco2_tpu.train.trainer import Experiment
+    root = str(tmp_path)
+    names = make_synthetic_dataset(root, scale=2, cell='CELL0',
+                                   n_train=8, n_val=2, n_test=2,
+                                   size=64)
+    args = get_args([
+        '--net_type', 'SRCNN', '--scale', '2', '--h_size', '32',
+        '--n_channels', '1', '--distributed', 'True',
+        '--train_dsets', names[0], '--valid_dsets', names[1],
+        '--test_dsets', names[2],
+        '--data_root', root, '--splits_root', root,
+        '--l2', 'True', '--max_epochs', '1', '--batch_size', '8',
+        '--eval_bsize', '8', '--checkpoint_eval', '1.0',
+        '--checkpoint_save', '1.0'])
+    args['abs_fd_exp'] = os.path.join(root, 'exp')
+    os.makedirs(args['abs_fd_exp'], exist_ok=True)
+    exp = Experiment(args)
+    assert exp.mesh is not None
+    exp.train_valid()
+    assert os.path.isfile(os.path.join(args['abs_fd_exp'],
+                                       'passed.txt'))
