@@ -161,8 +161,33 @@ class SwinBlock(nn.Module):
         return x + y
 
 
+class _DoubleSwinBlock(nn.Module):
+    """One scan unit: a non-shifted block followed by a shifted block.
+    Scanning over these units compiles ONE pair body instead of
+    `depth` unrolled blocks — the flagship's XLA program shrinks ~18x,
+    cutting minutes off compile time at equal step math."""
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = SwinBlock(self.dim, self.num_heads, self.window_size, 0,
+                      self.mlp_ratio, dtype=self.dtype,
+                      use_pallas=self.use_pallas)(x)
+        x = SwinBlock(self.dim, self.num_heads, self.window_size,
+                      self.window_size // 2, self.mlp_ratio,
+                      dtype=self.dtype, use_pallas=self.use_pallas)(x)
+        return x, None
+
+
 class RSTB(nn.Module):
-    """Residual Swin Transformer Block: depth blocks + conv + residual."""
+    """Residual Swin Transformer Block: depth blocks + conv + residual.
+    Even depths scan over (no-shift, shift) block pairs with stacked
+    params; odd depths fall back to the unrolled loop."""
     dim: int
     depth: int
     num_heads: int
@@ -171,15 +196,29 @@ class RSTB(nn.Module):
     resi_connection: str = constants.R_CONNECTION_1CONV
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x):
         res = x
-        for i in range(self.depth):
-            shift = 0 if i % 2 == 0 else self.window_size // 2
-            x = SwinBlock(self.dim, self.num_heads, self.window_size,
-                          shift, self.mlp_ratio, dtype=self.dtype,
-                          use_pallas=self.use_pallas)(x)
+        if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
+            ScanPair = nn.scan(
+                _DoubleSwinBlock,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                length=self.depth // 2,
+                metadata_params={nn.PARTITION_NAME: None})
+            x, _ = ScanPair(self.dim, self.num_heads, self.window_size,
+                            self.mlp_ratio, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
+                            name='blocks')(x, None)
+        else:
+            for i in range(self.depth):
+                shift = 0 if i % 2 == 0 else self.window_size // 2
+                x = SwinBlock(self.dim, self.num_heads,
+                              self.window_size, shift, self.mlp_ratio,
+                              dtype=self.dtype,
+                              use_pallas=self.use_pallas)(x)
         if self.resi_connection == constants.R_CONNECTION_1CONV:
             x = Conv(self.dim, 3, dtype=self.dtype)(x)
         else:  # 3conv: compressed bottleneck
@@ -189,6 +228,26 @@ class RSTB(nn.Module):
             x = nn.leaky_relu(x, 0.2)
             x = Conv(self.dim, 3, dtype=self.dtype)(x)
         return x + res
+
+
+class _ScanRSTB(nn.Module):
+    """Scan unit over uniform stages (see _DoubleSwinBlock note)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    resi_connection: str
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = RSTB(self.dim, self.depth, self.num_heads,
+                 self.window_size, self.mlp_ratio,
+                 self.resi_connection, dtype=self.dtype,
+                 use_pallas=self.use_pallas)(x)
+        return x, None
 
 
 class SwinIR(nn.Module):
@@ -204,6 +263,7 @@ class SwinIR(nn.Module):
     resi_connection: str = constants.R_CONNECTION_1CONV
     dtype: Dtype = jnp.float32
     use_pallas_attn: bool = False
+    scan_stages: bool = True
 
     def pad_to_window(self, x_nhwc):
         """Reflect-pad H,W to window multiples (check_image_size:908);
@@ -233,11 +293,29 @@ class SwinIR(nn.Module):
         feat = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_first')(y)
         body = feat
-        for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
-            body = RSTB(self.embed_dim, d, nh, self.window_size,
-                        self.mlp_ratio, self.resi_connection,
-                        dtype=self.dtype, use_pallas=self.use_pallas_attn,
-                        name=f'rstb{i}')(body)
+        uniform = (len(set(self.depths)) == 1
+                   and len(set(self.num_heads)) == 1)
+        if self.scan_stages and uniform and len(self.depths) > 1:
+            ScanStages = nn.scan(
+                _ScanRSTB,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                length=len(self.depths),
+                metadata_params={nn.PARTITION_NAME: None})
+            body, _ = ScanStages(
+                self.embed_dim, self.depths[0], self.num_heads[0],
+                self.window_size, self.mlp_ratio,
+                self.resi_connection, dtype=self.dtype,
+                use_pallas=self.use_pallas_attn,
+                name='stages')(body, None)
+        else:
+            for i, (d, nh) in enumerate(zip(self.depths,
+                                            self.num_heads)):
+                body = RSTB(self.embed_dim, d, nh, self.window_size,
+                            self.mlp_ratio, self.resi_connection,
+                            dtype=self.dtype,
+                            use_pallas=self.use_pallas_attn,
+                            name=f'rstb{i}')(body)
         body = nn.LayerNorm(dtype=self.dtype)(body)
         body = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_after_body')(body)

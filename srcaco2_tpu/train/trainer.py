@@ -339,7 +339,9 @@ class Experiment:
         while step < total_steps:
             epoch = step // spe
             # per-epoch permutation (DistributedSampler analog)
-            perm = P.epoch_indices(key, n_train, jnp.int32(epoch))
+            if step == start_step or step % spe == 0:
+                # one permutation per epoch (DistributedSampler analog)
+                perm = P.epoch_indices(key, n_train, jnp.int32(epoch))
             i_in_epoch = step % spe
             idxs = jax.lax.dynamic_slice_in_dim(
                 perm, i_in_epoch * self.batch_size, self.batch_size)
