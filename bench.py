@@ -105,14 +105,15 @@ def main():
         return jax.random.randint(jax.random.fold_in(idx_key, i),
                                   (batch,), 0, n_img)
 
-    # warmup/compile
+    # warmup/compile (force a host read — block_until_ready alone has
+    # proven unreliable on the experimental axon platform).
     state, holder, ok = step_fn(state, hr, lr, sample_idxs(0), key)
-    jax.block_until_ready(state.params)
+    float(holder['total'])
 
     t0 = time.perf_counter()
     for i in range(1, steps + 1):
         state, holder, ok = step_fn(state, hr, lr, sample_idxs(i), key)
-    jax.block_until_ready(state.params)
+    final_loss = float(holder['total'])   # host sync on the full chain
     dt = time.perf_counter() - t0
 
     pps = batch * steps / dt / max(1, n_chips)
@@ -128,7 +129,7 @@ def main():
             'device': str(jax.devices()[0]),
             'dtype': 'float32' if ns.f32 else 'bfloat16',
             'quick': bool(ns.quick),
-            'loss': float(holder['total']),
+            'loss': final_loss,
         },
     }
     print(json.dumps(out))

@@ -121,33 +121,36 @@ def bhattacharyya(p: jax.Array, q: jax.Array) -> jax.Array:
     return jnp.sqrt(p * q).sum(axis=1)
 
 
-@functools.lru_cache(maxsize=8)
-def _ssim_window(ws: int, sigma: float = 1.5) -> np.ndarray:
-    xs = np.arange(ws, dtype=np.float32) - ws // 2
+@functools.lru_cache(maxsize=32)
+def _gauss_band(n: int, ws: int, sigma: float = 1.5) -> np.ndarray:
+    """(n, n) banded matrix applying a zero-padded SAME 1D Gaussian
+    window along one axis. A 1-channel conv is MXU-hostile (VPU
+    sliver); as a banded matmul it rides the MXU like ops/resize."""
+    xs = np.arange(ws, dtype=np.float64) - ws // 2
     g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
     g = g / g.sum()
-    return (g[:, None] * g[None, :])[None, None]
+    m = np.zeros((n, n), np.float32)
+    half = ws // 2
+    for i in range(n):
+        for t in range(ws):
+            j = i + t - half
+            if 0 <= j < n:
+                m[i, j] += g[t]
+    return m
 
 
 def ssim_train(img1: jax.Array, img2: jax.Array,
                window_size: int = 11) -> jax.Array:
-    """Train-time SSIM (zero-padded SAME conv, per-sample mean) matching
-    loss/ssim.py:64. Inputs (B,C,H,W) in [0,1]; returns (B,)."""
-    c = img1.shape[1]
-    w = np.repeat(_ssim_window(window_size), c, axis=0)  # (C,1,ws,ws)
-    pad = window_size // 2
+    """Train-time SSIM (zero-padded SAME window, per-sample mean)
+    matching loss/ssim.py:64. Inputs (B,C,H,W) in [0,1]; returns (B,).
+    The separable Gaussian runs as two banded matmuls on the MXU."""
+    h, w_ = img1.shape[2], img1.shape[3]
+    kh = jnp.asarray(_gauss_band(h, window_size))
+    kw = jnp.asarray(_gauss_band(w_, window_size))
 
     def conv(x):
-        b = x.shape[0]
-        y = x.reshape(b * c, 1, x.shape[2], x.shape[3])
-        dn = jax.lax.conv_dimension_numbers(
-            y.shape, (1, 1, window_size, window_size),
-            ('NCHW', 'OIHW', 'NCHW'))
-        y = jax.lax.conv_general_dilated(
-            y, jnp.asarray(w[:1]), (1, 1),
-            [(pad, pad), (pad, pad)], dimension_numbers=dn,
-            precision=jax.lax.Precision.HIGHEST)
-        return y.reshape(b, c, x.shape[2], x.shape[3])
+        y = jnp.einsum('oh,bchw->bcow', kh, x)
+        return jnp.einsum('ow,bchw->bcho', kw, y)
 
     mu1 = conv(img1)
     mu2 = conv(img2)

@@ -144,29 +144,32 @@ def _gaussian_kernel2d(size: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _valid_band(n: int, kernel1d: tuple) -> np.ndarray:
+    """(n-k+1, n) banded matrix applying a VALID 1D correlation. A
+    1-channel conv is MXU-hostile; as a banded matmul it rides the MXU
+    (same trick as ops/resize)."""
+    k = np.asarray(kernel1d, np.float64)
+    out = n - len(k) + 1
+    m = np.zeros((out, n), np.float32)
+    for i in range(out):
+        m[i, i:i + len(k)] = k
+    return m
+
+
 def _valid_depthwise_conv(x: jax.Array, kernel2d: np.ndarray) -> jax.Array:
-    """Depthwise VALID conv of NCHW x with a shared 2D kernel. The 2D
-    Gaussian is separable, so run two rank-1 convs (cheaper on the VPU)."""
-    c = x.shape[1]
+    """Depthwise VALID filtering of NCHW x with a separable 2D kernel,
+    expressed as two banded matmuls (MXU) in HIGHEST precision — metric
+    parity requires true f32 accumulation."""
     u, s, vt = np.linalg.svd(kernel2d)
-    kv = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)
-    kh = (vt[0] * np.sqrt(s[0])).astype(np.float32)
+    kv = (u[:, 0] * np.sqrt(s[0])).astype(np.float64)
+    kh = (vt[0] * np.sqrt(s[0])).astype(np.float64)
     if kv.sum() < 0:
         kv, kh = -kv, -kh
-    wv = jnp.asarray(kv).reshape(1, 1, -1, 1)
-    wh = jnp.asarray(kh).reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, len(kv), 1),
-                                        ('NCHW', 'OIHW', 'NCHW'))
-    y = x.reshape(x.shape[0] * c, 1, x.shape[2], x.shape[3])
-    # Precision.HIGHEST: metric parity requires true f32 accumulation
-    # (TPU convs otherwise run bf16 passes).
-    y = jax.lax.conv_general_dilated(y, wv, (1, 1), 'VALID',
-                                     dimension_numbers=dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-    y = jax.lax.conv_general_dilated(y, wh, (1, 1), 'VALID',
-                                     dimension_numbers=dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-    return y.reshape(x.shape[0], c, y.shape[2], y.shape[3])
+    mh = jnp.asarray(_valid_band(x.shape[2], tuple(kv)))
+    mw = jnp.asarray(_valid_band(x.shape[3], tuple(kh)))
+    y = jnp.einsum('oh,bchw->bcow', mh, x, precision='highest')
+    return jnp.einsum('ow,bchw->bcho', mw, y, precision='highest')
 
 
 def mb_ssim(x: jax.Array, y: jax.Array, border: int = 0,
