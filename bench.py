@@ -30,6 +30,7 @@ def main():
     ap.add_argument('--batch', type=int, default=0)
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--f32', action='store_true')
+    ap.add_argument('--unroll', type=int, default=1)
     ns = ap.parse_args()
 
     import jax
@@ -71,7 +72,8 @@ def main():
                        embed_dim=180, depths=(6, 6, 6, 6, 6, 6),
                        num_heads=(6, 6, 6, 6, 6, 6), mlp_ratio=2.0,
                        upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
-                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
+                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16,
+                       scan_unroll=ns.unroll)
         batch = ns.batch or 64   # best measured config on v5e
         steps = ns.steps
 

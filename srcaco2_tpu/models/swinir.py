@@ -197,6 +197,7 @@ class RSTB(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     scan_blocks: bool = True
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -207,6 +208,7 @@ class RSTB(nn.Module):
                 variable_axes={'params': 0},
                 split_rngs={'params': True},
                 length=self.depth // 2,
+                unroll=min(self.scan_unroll, self.depth // 2),
                 metadata_params={nn.PARTITION_NAME: None})
             x, _ = ScanPair(self.dim, self.num_heads, self.window_size,
                             self.mlp_ratio, dtype=self.dtype,
@@ -264,6 +266,7 @@ class SwinIR(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_attn: bool = False
     scan_stages: bool = True
+    scan_unroll: int = 1
 
     def pad_to_window(self, x_nhwc):
         """Reflect-pad H,W to window multiples (check_image_size:908);
@@ -301,6 +304,7 @@ class SwinIR(nn.Module):
                 variable_axes={'params': 0},
                 split_rngs={'params': True},
                 length=len(self.depths),
+                unroll=min(self.scan_unroll, len(self.depths)),
                 metadata_params={nn.PARTITION_NAME: None})
             body, _ = ScanStages(
                 self.embed_dim, self.depths[0], self.num_heads[0],
