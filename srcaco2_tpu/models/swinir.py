@@ -198,13 +198,19 @@ class RSTB(nn.Module):
     use_pallas: bool = False
     scan_blocks: bool = True
     scan_unroll: int = 1
+    remat_blocks: bool = True
 
     @nn.compact
     def __call__(self, x):
         res = x
         if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
+            # remat halves measured step time: the backward is HBM-
+            # bandwidth bound, so recomputing the pair body from its
+            # input beats streaming saved activations back from HBM.
+            body = nn.remat(_DoubleSwinBlock, prevent_cse=False) \
+                if self.remat_blocks else _DoubleSwinBlock
             ScanPair = nn.scan(
-                _DoubleSwinBlock,
+                body,
                 variable_axes={'params': 0},
                 split_rngs={'params': True},
                 length=self.depth // 2,
