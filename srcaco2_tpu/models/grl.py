@@ -296,6 +296,33 @@ class GRLBlock(nn.Module):
         return x + y
 
 
+class _DoubleGRLBlock(nn.Module):
+    """Scan unit: (shifted-window + H-stripe) block then (unshifted +
+    W-stripe) block — the reference's even/odd alternation. Scanned with
+    remat like SwinIR (HBM-bound backward; compile shrinks ~depth/2 x)."""
+    dim: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: int
+    stripe_size: Tuple[int, int]
+    df: int
+    mlp_ratio: float
+    local_connection: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = GRLBlock(self.dim, self.num_heads_w, self.num_heads_s,
+                     self.window_size, True, self.stripe_size, 'H',
+                     self.df, self.mlp_ratio, self.local_connection,
+                     dtype=self.dtype)(x)
+        x = GRLBlock(self.dim, self.num_heads_w, self.num_heads_s,
+                     self.window_size, False, self.stripe_size, 'W',
+                     self.df, self.mlp_ratio, self.local_connection,
+                     dtype=self.dtype)(x)
+        return x, None
+
+
 class GRL(nn.Module):
     in_chans: int = 1
     upscale: int = 2
@@ -311,6 +338,7 @@ class GRL(nn.Module):
     local_connection: bool = True
     upsampler: str = constants.US_PIXEL_SHUFFLE
     dtype: Dtype = jnp.float32
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -334,16 +362,30 @@ class GRL(nn.Module):
                                                self.num_heads_window,
                                                self.num_heads_stripe)):
             stage_in = body
-            for i in range(d):
-                body = GRLBlock(
+            if self.scan_blocks and d % 2 == 0 and d >= 2:
+                ScanPair = nn.scan(
+                    nn.remat(_DoubleGRLBlock, prevent_cse=False),
+                    variable_axes={'params': 0},
+                    split_rngs={'params': True},
+                    length=d // 2,
+                    metadata_params={nn.PARTITION_NAME: None})
+                body, _ = ScanPair(
                     self.embed_dim, nhw, nhs, self.window_size,
-                    window_shift=(i % 2 == 0),
-                    stripe_size=tuple(self.stripe_size),
-                    stripe_type='H' if i % 2 == 0 else 'W',
-                    df=self.anchor_window_down_factor,
-                    mlp_ratio=self.mlp_ratio,
-                    local_connection=self.local_connection,
-                    dtype=self.dtype, name=f's{si}_b{i}')(body)
+                    tuple(self.stripe_size),
+                    self.anchor_window_down_factor, self.mlp_ratio,
+                    self.local_connection, dtype=self.dtype,
+                    name=f's{si}_blocks')(body, None)
+            else:
+                for i in range(d):
+                    body = GRLBlock(
+                        self.embed_dim, nhw, nhs, self.window_size,
+                        window_shift=(i % 2 == 0),
+                        stripe_size=tuple(self.stripe_size),
+                        stripe_type='H' if i % 2 == 0 else 'W',
+                        df=self.anchor_window_down_factor,
+                        mlp_ratio=self.mlp_ratio,
+                        local_connection=self.local_connection,
+                        dtype=self.dtype, name=f's{si}_b{i}')(body)
             body = Conv(self.embed_dim, 3, dtype=self.dtype,
                         name=f's{si}_conv')(body)
             body = body + stage_in
