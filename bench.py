@@ -108,9 +108,20 @@ def main():
                                   (batch,), 0, n_img)
 
     # warmup/compile (force a host read — block_until_ready alone has
-    # proven unreliable on the experimental axon platform).
-    state, holder, ok = step_fn(state, hr, lr, sample_idxs(0), key)
-    float(holder['total'])
+    # proven unreliable on the experimental axon platform). The remote
+    # compile service occasionally 500s; retry.
+    for attempt in range(3):
+        try:
+            state, holder, ok = step_fn(state, hr, lr, sample_idxs(0),
+                                        key)
+            float(holder['total'])
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f'# compile attempt {attempt + 1} failed '
+                  f'({type(e).__name__}); retrying', file=sys.stderr)
+            time.sleep(10)
 
     t0 = time.perf_counter()
     for i in range(1, steps + 1):

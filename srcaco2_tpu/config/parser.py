@@ -96,9 +96,19 @@ def _add_flag(parser: argparse.ArgumentParser, name: str, default: Any):
         raise NotImplementedError(f'{name}: {type(default)}')
 
 
+# reference-CLI compatibility: CUDA/DDP flags accepted and ignored so
+# commands copied from the reference README run unchanged.
+_IGNORED_COMPAT_FLAGS = ['cudaid', 'num_gpus', 'local_rank',
+                         'local_world_size', 'init_method', 'c_cudaid']
+
+
 def build_parser(config: dict) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog='srcaco2-tpu')
-    seen = set()
+    for name in _IGNORED_COMPAT_FLAGS:
+        parser.add_argument(f'--{name}', type=str, default=None,
+                            help='accepted for reference-CLI '
+                                 'compatibility; ignored on TPU')
+    seen = set(_IGNORED_COMPAT_FLAGS)
     for k, v in config.items():
         if k in ('netG', 'train'):
             continue

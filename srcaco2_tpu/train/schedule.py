@@ -47,10 +47,16 @@ def build_optimizer(tr: dict) -> optax.GradientTransformation:
         chain.append(optax.add_decayed_weights(wd))
     kind = tr['G_optimizer_type']
     if kind == constants.ADAM:
-        chain.append(optax.scale_by_adam(
-            b1=float(tr['G_optimizer_beta1']),
-            b2=float(tr['G_optimizer_beta2']),
-            eps=float(tr['G_optimizer_eps_adam'])))
+        if bool(tr.get('G_optimizer_amsgrad', False)):
+            chain.append(optax.scale_by_amsgrad(
+                b1=float(tr['G_optimizer_beta1']),
+                b2=float(tr['G_optimizer_beta2']),
+                eps=float(tr['G_optimizer_eps_adam'])))
+        else:
+            chain.append(optax.scale_by_adam(
+                b1=float(tr['G_optimizer_beta1']),
+                b2=float(tr['G_optimizer_beta2']),
+                eps=float(tr['G_optimizer_eps_adam'])))
     elif kind == constants.SGD:
         mom = float(tr.get('G_optimizer_momentum', 0.0) or 0.0)
         if mom > 0:

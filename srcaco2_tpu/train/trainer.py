@@ -427,6 +427,9 @@ class Experiment:
             T.save_tracker(self.roi_tracker, self.exp_dir,
                            'roi_tracker.pkl')
             T.plot_tracker(self.tracker, self.exp_dir)
+            if args.get('eval_over_roi_also', False):
+                T.plot_tracker(self.roi_tracker, self.exp_dir,
+                               prefix='roi_tracker')
             total_t = time.perf_counter() - t_start
             with open(os.path.join(self.exp_dir, 'passed.txt'), 'w') as f:
                 f.write(f'done in {total_t:.1f}s\n')
