@@ -385,8 +385,13 @@ class Experiment:
             new_epoch = step // spe
             if new_epoch != last_epoch:
                 # epoch boundary: aggregate losses, ELB t, periodic jobs.
-                agg = {n: float(np.mean([float(v) for v in vs]))
-                       for n, vs in epoch_losses.items()}
+                per_iter = {n: [float(v) for v in vs]
+                            for n, vs in epoch_losses.items()}
+                for n, vs in per_iter.items():
+                    self.tracker['train'][T.PERIOD_ITER].setdefault(
+                        n, []).extend(vs)
+                agg = {n: float(np.mean(vs))
+                       for n, vs in per_iter.items()}
                 T.update_tracker_train(self.tracker, T.PERIOD_EPOCH, agg)
                 loss_line = ' '.join(f'{n}={v:.6f}'
                                      for n, v in agg.items())
