@@ -24,6 +24,8 @@ def main():
     ap.add_argument('--epochs', type=int, default=4)
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--root', default='')
+    ap.add_argument('--ckpt_eval', default='1.0')
+    ap.add_argument('--lr', default='0.0002')
     ns = ap.parse_args()
 
     from srcaco2_tpu import constants
@@ -57,8 +59,9 @@ def main():
         '--sample_tr_patch_th', '4.0',
         '--batch_size', str(ns.batch), '--eval_bsize', '4',
         '--max_epochs', str(ns.epochs),
-        '--checkpoint_eval', '1.0', '--checkpoint_save', '1.0',
-        '--G_optimizer_lr', '0.0002'])
+        '--checkpoint_eval', ns.ckpt_eval,
+        '--checkpoint_save', ns.ckpt_eval,
+        '--G_optimizer_lr', ns.lr])
     args['abs_fd_exp'] = os.path.join(root, 'exp')
     os.makedirs(args['abs_fd_exp'], exist_ok=True)
 

@@ -77,10 +77,10 @@ class ENLCA(nn.Module):
         v = Conv(self.channels, 1, dtype=self.dtype,
                  name='conv_assembly')(x)
         kk = math.sqrt(6.0)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
-                            5e-5) * kk
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
-                            5e-5) * kk
+        q = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)
+                         + 2.5e-9) * kk
+        k = k / jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True)
+                         + 2.5e-9) * kk
         # fixed gaussian-orthogonal projection (the reference keeps a
         # buffer drawn at init; we derive it from a constant key so it is
         # identical across steps and hosts).

@@ -154,10 +154,8 @@ class AffineTransform(nn.Module):
 
 
 def _cosine_attn(q, k, v, transform, table, index, mask):
-    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
-                         1e-12)
-    kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
-                         1e-12)
+    qn = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    kn = k / jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
     attn = jnp.einsum('bhnd,bhmd->bhnm', qn, kn)
     attn = transform(attn, table, index, mask)
     attn = jax.nn.softmax(attn, axis=-1)

@@ -87,8 +87,8 @@ class NonLocalSparseAttention(nn.Module):
         xb = xb.reshape(b, self.n_hashes, nchunks, ck, red_c)
         yb = yb.reshape(b, self.n_hashes, nchunks, ck, self.channels)
 
-        x_match = xb / jnp.maximum(
-            jnp.linalg.norm(xb, axis=-1, keepdims=True), 5e-5)
+        x_match = xb / jnp.sqrt(
+            jnp.sum(xb * xb, axis=-1, keepdims=True) + 2.5e-9)
 
         def add_adjacent(t):
             back = jnp.concatenate([t[:, :, -1:], t[:, :, :-1]], axis=2)

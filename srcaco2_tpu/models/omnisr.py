@@ -193,10 +193,10 @@ class ChannelAttention(nn.Module):
             return tw.transpose(0, 1, 3, 4, 2)
 
         qt, kt, vt = map(to_tokens, (q, k, v))
-        qt = qt / jnp.maximum(
-            jnp.linalg.norm(qt, axis=-1, keepdims=True), 1e-12)
-        kt = kt / jnp.maximum(
-            jnp.linalg.norm(kt, axis=-1, keepdims=True), 1e-12)
+        qt = qt / jnp.sqrt(jnp.sum(qt * qt, axis=-1, keepdims=True)
+                           + 1e-12)
+        kt = kt / jnp.sqrt(jnp.sum(kt * kt, axis=-1, keepdims=True)
+                           + 1e-12)
         temp = self.param('temperature', nn.initializers.ones,
                           (self.heads, 1, 1))
         attn = jnp.einsum('bghdt,bghet->bghde', qt, kt) \

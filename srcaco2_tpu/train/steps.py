@@ -105,7 +105,11 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         x = net_input(net_type, batch, netG)
 
         def loss_fn(params):
-            outputs = model.apply({'params': params}, x, train=True)
+            # 'lsh' stream: NLSN redraws its hash rotations per forward
+            # (network_nlsn.py:147); harmless for models without it.
+            outputs = model.apply(
+                {'params': params}, x, train=True,
+                rngs={'lsh': jax.random.fold_in(skey, 0x15a)})
             total, holder = compute_model_loss(
                 net_type, master, outputs, batch, params, epoch,
                 state.elb_t)

@@ -121,3 +121,35 @@ def test_interpolate_baseline():
         0, 1, (2, 1, 8, 8)).astype(np.float32))
     out = interpolate_model(x, 4)['out']
     assert out.shape == (2, 1, 32, 32)
+
+
+def test_nlsn_in_train_step():
+    """NLSN's 'lsh' rng stream is provided by the train step."""
+    import jax
+    import jax.numpy as jnp
+    from srcaco2_tpu import constants
+    from srcaco2_tpu.config.defaults import get_config
+    from srcaco2_tpu.data import pipeline as P
+    from srcaco2_tpu.losses.master import build_loss
+    from srcaco2_tpu.models.nlsn import NLSN
+    from srcaco2_tpu.train.schedule import build_optimizer
+    from srcaco2_tpu.train.state import TrainState
+    from srcaco2_tpu.train.steps import make_train_step
+    args = get_config(constants.NLSN)
+    args['l2'] = True
+    master = build_loss(args)
+    tx = build_optimizer(args['train'])
+    m = NLSN(in_chans=1, upscale=2, n_resblocks=8, n_feats=16,
+             n_hashes=2, chunk_size=16, res_scale=0.1)
+    x0 = jnp.zeros((1, 1, 8, 8), jnp.float32)
+    params = m.init({'params': jax.random.key(0),
+                     'lsh': jax.random.key(1)}, x0,
+                    train=False)['params']
+    st = TrainState.create(params, tx)
+    step = make_train_step(m, master, tx, constants.NLSN,
+                           P.PipeConfig(scale=2, h_size=8),
+                           donate=False)
+    hr = jnp.zeros((4, 16, 16, 1), jnp.uint8)
+    lr = jnp.zeros((4, 8, 8, 1), jnp.uint8)
+    st2, holder, ok = step(st, hr, lr, jnp.arange(2), jax.random.key(0))
+    assert bool(ok)
