@@ -127,10 +127,10 @@ _CACO2_FMT = 'caco2_{split}_X_{scale}_in_{inres}_out_512_cell_{cell}'
 
 def caco2_name(split: str, scale: int, cell: str) -> str:
     """Canonical dataset name, e.g.
-    caco2_train_X_8_in_64_out_512_cell_CELL2."""
+    caco2_train_X_8_in_64_out_512_cell_CELL2. `cell` also accepts BioSR
+    structure names (CCP/ER/MT/F-actin) for the biosr builder."""
     assert split in SPLITS, split
     assert scale in SCALES, scale
-    assert cell in CELLS, cell
     return _CACO2_FMT.format(split=split, scale=scale, inres=512 // scale,
                              cell=cell)
 
@@ -140,9 +140,11 @@ datasets = [caco2_name(s, x, c) for x in SCALES for c in CELLS
 
 
 def parse_caco2_name(name: str):
-    """Inverse of caco2_name -> (split, scale, cell)."""
+    """Inverse of caco2_name -> (split, scale, cell). Also accepts
+    biosr_* names built with the same pattern (data/build_scripts
+    biosr builder)."""
     parts = name.split('_')
-    assert parts[0] == 'caco2', name
+    assert parts[0] in ('caco2', 'biosr'), name
     split = parts[1]
     scale = int(parts[3])
     cell = parts[-1]

@@ -161,7 +161,16 @@ class Experiment:
             e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
             ppiw_table=self.ppiw_table, mesh=self.mesh,
             netG=args['netG'])
-        self.forward = make_eval_forward(self.model, nt,
+        # amp vs amp_eval (reference: separate train/eval autocast
+        # flags): when training in bf16 but amp_eval is False, evaluate
+        # with an f32-compute twin of the same params.
+        eval_model = self.model
+        if args.get('amp', False) and not args.get('amp_eval', False):
+            a2 = dict(args)
+            a2['amp'] = False
+            eval_model = define_g(a2)
+        self.eval_model = eval_model
+        self.forward = make_eval_forward(eval_model, nt,
                                          int(args['scale']),
                                          netG=args['netG'])
         if self.mesh is not None and \
@@ -172,8 +181,7 @@ class Experiment:
             # eval batches fall back to the replicated forward).
             from srcaco2_tpu.parallel.mesh import shard_eval_forward
             from srcaco2_tpu.train.steps import net_input
-            from srcaco2_tpu.ops.metrics import uint8_round as _u8
-            model = self.model
+            model = eval_model
             netG = args['netG']
 
             def _fwd(params, batch):
