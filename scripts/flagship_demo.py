@@ -61,7 +61,8 @@ def main():
         '--max_epochs', str(ns.epochs),
         '--checkpoint_eval', ns.ckpt_eval,
         '--checkpoint_save', ns.ckpt_eval,
-        '--G_optimizer_lr', ns.lr])
+        '--G_optimizer_lr', ns.lr,
+        '--G_optimizer_clipgrad', '0.5'])
     args['abs_fd_exp'] = os.path.join(root, 'exp')
     os.makedirs(args['abs_fd_exp'], exist_ok=True)
 

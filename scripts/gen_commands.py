@@ -33,6 +33,7 @@ def train_cmd(net: str, scale: int, cell: str, data_root: str) -> str:
         '--sample_tr_patch_th_style fix_threshold',
         '--sample_tr_patch_th 4.0',
         '--amp True --batch_size 64 --max_epochs 70',
+        '--G_optimizer_clipgrad 0.5',   # stabilizes the ssim term
         '--checkpoint_eval 1.0 --checkpoint_save 1.0',
     ]
     if net == constants.SWINIR:
