@@ -86,6 +86,16 @@ def fast_eval(forward: Callable, params, ds: SRDataset, args,
         h_img = M.uint8_round(batch['h_im'])
         res = metric_fn(e_img, h_img)
         res = jax.tree.map(np.asarray, res)
+        # metric sanity guard (reference: check_negative_non_float,
+        # utils_trainer.py:933 — hard stop on nan/inf/negative).
+        for scope in res:
+            for m, v in res[scope].items():
+                vv = v[:len(idx)]
+                if not np.all(np.isfinite(vv)) or np.any(vv < 0):
+                    DLLogger.log(f'CORRUPTED metric {scope}/{m} in '
+                                 f'{ds.name}: {vv}')
+                    raise FloatingPointError(
+                        f'non-finite/negative metric {scope}/{m}')
         for scope in sums:
             for m in EVAL_METRICS:
                 sums[scope][m] += float(res[scope][m][:len(idx)].sum())
