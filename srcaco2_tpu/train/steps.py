@@ -11,7 +11,6 @@ TPU redesign: the whole step — including the input-pipeline batch assembly
 old state via jnp.where instead of host control flow, and 'corruption' is
 returned as a scalar flag the host checks asynchronously.
 """
-import functools
 from typing import Callable, Optional
 
 import jax

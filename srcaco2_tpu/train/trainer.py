@@ -43,12 +43,6 @@ def _freq_to_iters(v, steps_per_epoch: int) -> int:
     return int(v)
 
 
-def _select_metric_value(perf: Dict, args) -> float:
-    scope = 'roi' if args.get('eval_over_roi_also_model_select', False) \
-        else 'full'
-    return perf.get(scope, perf['full'])[args['model_select_mtr']]
-
-
 class Experiment:
     """Builds and holds all training components for one experiment."""
 
