@@ -280,9 +280,12 @@ def make_train_batch(hr_u8: jax.Array, lr_u8: jax.Array,
 
 
 # -------------------------------------------------------------- eval batch
+@jax.jit
 def make_eval_batch(hr_u8: jax.Array, lr_u8: jax.Array,
                     idxs: jax.Array) -> dict:
-    """Full-image eval batch: NCHW float32 [0,1] l_im / h_im / l_to_h."""
+    """Full-image eval batch: NCHW float32 [0,1] l_im / h_im / l_to_h.
+    Jitted (one compiled program per shape) — assembling eagerly cost a
+    dispatch per op on TPU."""
     hr = hr_u8[idxs].astype(jnp.float32).transpose(0, 3, 1, 2) / 255.0
     lr_u8_b = lr_u8[idxs]
     lr = lr_u8_b.astype(jnp.float32).transpose(0, 3, 1, 2)

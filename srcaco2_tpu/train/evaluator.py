@@ -12,6 +12,7 @@ computed in one device call per batch; per-image details come back as
 (B,) vectors keyed by the static per-shard index map — no float-id
 dict-sync trick needed.
 """
+import functools
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -41,7 +42,11 @@ def _metrics_one_batch(e_img, h_img, border: int, over_roi: bool,
     return out
 
 
-def make_metric_fn(border: int, over_roi: bool, roi_ths) -> Callable:
+@functools.lru_cache(maxsize=32)
+def make_metric_fn(border: int, over_roi: bool,
+                   roi_ths: tuple) -> Callable:
+    """Cached so repeated validations reuse one compiled program
+    (a fresh jit per call re-compiled every validation)."""
     return jax.jit(lambda e, h: _metrics_one_batch(e, h, border,
                                                    over_roi, roi_ths))
 
@@ -60,7 +65,8 @@ def fast_eval(forward: Callable, params, ds: SRDataset, args,
     border = int(args['scale'])
     over_roi = bool(args.get('eval_over_roi_also', False))
     roi_ths = args.get('eval_over_roi_also_ths', constants.ROI_THRESH)
-    metric_fn = make_metric_fn(border, over_roi, roi_ths)
+    metric_fn = make_metric_fn(border, over_roi,
+                               tuple(roi_ths))
 
     if ds.hr_dev is None:
         ds.stage()
