@@ -62,7 +62,9 @@ def main():
         '--checkpoint_eval', ns.ckpt_eval,
         '--checkpoint_save', ns.ckpt_eval,
         '--G_optimizer_lr', ns.lr,
-        '--G_optimizer_clipgrad', '0.5'])
+        '--G_optimizer_clipgrad', '0.5',
+        '--test_epoch_freq', '1000000',
+        '--plot_epoch_freq', '1000000'])
     args['abs_fd_exp'] = os.path.join(root, 'exp')
     os.makedirs(args['abs_fd_exp'], exist_ok=True)
 
