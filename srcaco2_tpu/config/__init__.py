@@ -1,0 +1,1 @@
+"""Config system: defaults -> per-net -> CLI overlay."""

@@ -1,0 +1,1 @@
+"""Data layer: folds, staging, device pipeline, builders."""

@@ -1,0 +1,1 @@
+"""Offline diagnosis: data checks, stats, parity."""

@@ -1,0 +1,1 @@
+"""Batch inference, noise studies, figures, serving."""

@@ -1,0 +1,1 @@
+"""Composable loss system (MasterLoss, ELB, CRF)."""

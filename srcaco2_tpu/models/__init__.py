@@ -1,0 +1,1 @@
+"""The 18-network SISR zoo (flax.linen)."""

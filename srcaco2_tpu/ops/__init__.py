@@ -1,0 +1,1 @@
+"""Device ops: resize, metrics, patches, PAM, pallas kernels."""

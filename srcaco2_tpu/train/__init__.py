@@ -1,0 +1,1 @@
+"""Trainer engine: steps, schedules, evaluator, checkpoints."""

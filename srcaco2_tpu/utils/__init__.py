@@ -1,0 +1,1 @@
+"""Logging, tracking, profiling, cluster, RNG utilities."""
