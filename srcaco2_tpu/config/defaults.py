@@ -99,6 +99,9 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
             "synch_scratch_epoch_freq": 50,
         },
         # --------------------------------------------------- evaluation
+        "test_mode": 0,       # tiled/ensembled inference: 0 normal,
+                              # 1 pad, 2 split, 3 x8 TTA, 4 split+x8
+                              # (train/test_modes.py).
         "eval_over_roi_also": False,
         "eval_over_roi_also_ths": constants.ROI_THRESH,
         "eval_over_roi_also_model_select": False,

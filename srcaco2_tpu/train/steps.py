@@ -148,16 +148,28 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
 
 def make_eval_forward(model, net_type: str, scale: int,
                       use_ema: bool = False,
-                      netG: dict = None) -> Callable:
+                      netG: dict = None,
+                      test_mode: int = 0) -> Callable:
     """Jitted full-image forward: (params, batch) -> uint8-rounded
     prediction in [0,255] NCHW. Window-padded models (SwinIR/GRL) pad
     internally with static shapes, replacing _forward_with_padding
-    (utils_trainer.py:829)."""
+    (utils_trainer.py:829). test_mode != 0 wraps the forward in the
+    tiled/x8 inference modes (train/test_modes.py; utils_model analog).
+    """
 
     @jax.jit
     def fwd(params, batch):
         x = net_input(net_type, batch, netG)
-        out = model.apply({'params': params}, x, train=False)['out']
+
+        def raw(z):
+            return model.apply({'params': params}, z,
+                               train=False)['out']
+
+        if test_mode:
+            from srcaco2_tpu.train.test_modes import test_mode as tm
+            out = tm(raw, x, mode=test_mode, sf=scale)
+        else:
+            out = raw(x)
         return jnp.clip(jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0),
                         0.0, 255.0)
 

@@ -164,9 +164,9 @@ class Experiment:
             a2['amp'] = False
             eval_model = define_g(a2)
         self.eval_model = eval_model
-        self.forward = make_eval_forward(eval_model, nt,
-                                         int(args['scale']),
-                                         netG=args['netG'])
+        self.forward = make_eval_forward(
+            eval_model, nt, int(args['scale']), netG=args['netG'],
+            test_mode=int(args.get('test_mode', 0) or 0))
         if self.mesh is not None and \
                 int(args['eval_bsize']) % \
                 self.mesh.shape[constants.DATA_AXIS] == 0:

@@ -67,3 +67,22 @@ def test_mode_dispatch():
         out = TM.test_mode(fwd, x, mode=mode, refield=8, min_size=8,
                            sf=2, modulo=1)
         assert out.shape == (1, 1, 32, 32), mode
+
+
+def test_eval_forward_with_tta_mode():
+    """make_eval_forward(test_mode=3) runs the x8 ensemble."""
+    import jax
+    from srcaco2_tpu import constants
+    from srcaco2_tpu.models.cnn_pre import SRCNN
+    from srcaco2_tpu.train.steps import make_eval_forward
+    m = SRCNN(in_chans=1)
+    x = jnp.zeros((1, 1, 16, 16))
+    params = m.init(jax.random.key(0), x, train=False)['params']
+    fwd = make_eval_forward(m, constants.SRCNN, 2, test_mode=3)
+    batch = {'l_im': jnp.zeros((2, 1, 8, 8)),
+             'l_to_h_img': jnp.asarray(
+                 np.random.default_rng(0).uniform(
+                     0, 1, (2, 1, 16, 16)).astype(np.float32))}
+    out = fwd(params, batch)
+    assert out.shape == (2, 1, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
