@@ -235,10 +235,19 @@ class Experiment:
             if is_best and args.get('is_master', True):
                 CKPT.save_best(self.exp_dir, self.state.params,
                                ds.name if multi else None)
-                with open(os.path.join(self.exp_dir, 'best-models',
-                                       f'details_{ds.name}.yml'.replace(
-                                           '/', '_')), 'w') as f:
+                safe = ds.name.replace('/', '_')
+                bd = os.path.join(self.exp_dir, 'best-models')
+                with open(os.path.join(bd, f'details_{safe}.yml'),
+                          'w') as f:
                     yaml.safe_dump(perf['details'], f)
+                # summary perf yaml next to the details (reference:
+                # _validate saves per-ds perf yaml, utils_trainer:246).
+                summary = {'step': int(step), 'full': perf['full']}
+                if 'roi' in perf:
+                    summary['roi'] = perf['roi']
+                with open(os.path.join(bd, f'summary_{safe}.yaml'),
+                          'w') as f:
+                    yaml.safe_dump(summary, f)
                 DLLogger.log(f'[best] new best on {ds.name} @ {step}')
 
     def evaluate_test(self, step: int, use_best: bool = True):
