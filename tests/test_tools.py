@@ -153,3 +153,41 @@ def test_regularizers():
     # bias untouched by orth
     np.testing.assert_array_equal(np.asarray(orth['conv']['bias']),
                                   np.asarray(params['conv']['bias']))
+
+
+def test_build_biosr_loads(tmp_path):
+    """biosr layout builds and loads through the standard loader."""
+    from srcaco2_tpu.data import io as dio
+    from srcaco2_tpu.data.build_scripts import build_biosr
+    from srcaco2_tpu.data.dataset import load_dataset
+    rng = np.random.default_rng(1)
+    raw = tmp_path / 'raw'
+    raw_pairs = {}
+    for t in range(3):
+        hr = _cell_image(rng, 128)
+        p = str(raw / f'hr_{t}.tif')
+        dio.imsave(hr, p)
+        lo = hr.reshape(64, 2, 64, 2).mean((1, 3)).astype(np.uint8)
+        pl = str(raw / f'lr_{t}.tif')
+        dio.imsave(lo, pl)
+        raw_pairs[str(t)] = {1: p, 2: pl}
+    out_root = str(tmp_path / 'built')
+    counts = build_biosr(raw_pairs, out_root, structure='CCP',
+                         scales=(2,), patch=64, min_cell_frac=0.01,
+                         splits=(0.4, 0.3))
+    assert sum(counts.values()) > 0
+    name = 'caco2_train_X_2_in_256_out_512_cell_CCP'.replace(
+        'caco2', 'biosr')
+    # build_biosr renames the image dir to biosr/; fold names keep the
+    # caco2_* pattern from the shared builder — point the loader at the
+    # biosr-prefixed name for dir resolution.
+    import os
+    folds = os.path.join(out_root, 'folds', 'super-resolution')
+    src = [d for d in os.listdir(folds) if 'train' in d][0]
+    os.rename(os.path.join(folds, src),
+              os.path.join(folds, src.replace('caco2', 'biosr')))
+    args = {'data_root': out_root, 'splits_root': out_root, 'scale': 2,
+            'n_channels': 1, 'myseed': 0, 'use_interpolated_low': False,
+            'inter_low_th': 7., 'inter_low_sigma': 6., 'num_workers': 2}
+    ds = load_dataset(args, src.replace('caco2', 'biosr'), 'train')
+    assert len(ds) == counts['train']
