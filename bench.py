@@ -31,6 +31,8 @@ def main():
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--f32', action='store_true')
     ap.add_argument('--unroll', type=int, default=1)
+    ap.add_argument('--no-fused', action='store_true',
+                    help='disable the fused VMEM block kernel')
     ns = ap.parse_args()
 
     import jax
@@ -59,12 +61,14 @@ def main():
     scale, h_size = 8, 128
     ls = h_size // scale
 
+    fused = not ns.no_fused
     if ns.quick:
         model = SwinIR(in_chans=1, upscale=scale, window_size=8,
                        embed_dim=32, depths=(2, 2), num_heads=(2, 2),
                        mlp_ratio=2.0,
                        upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
-                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
+                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16,
+                       fused_blocks=fused)
         batch = ns.batch or 16
         steps = min(ns.steps, 5)
     else:
@@ -73,7 +77,7 @@ def main():
                        num_heads=(6, 6, 6, 6, 6, 6), mlp_ratio=2.0,
                        upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
                        dtype=jnp.float32 if ns.f32 else jnp.bfloat16,
-                       scan_unroll=ns.unroll)
+                       scan_unroll=ns.unroll, fused_blocks=fused)
         batch = ns.batch or 64   # best measured config on v5e
         steps = ns.steps
 
@@ -131,6 +135,22 @@ def main():
 
     pps = batch * steps / dt / max(1, n_chips)
     target = 3000.0
+
+    # analytic model FLOPs/step (fwd + 2x bwd + ~1x recompute) for an
+    # MFU estimate against the v5e bf16 peak (197 TFLOP/s/chip).
+    c = model.embed_dim
+    ch = int(c * model.mlp_ratio)
+    t = ls * ls
+    n_blocks = sum(model.depths)
+    t_attn = t if fused else model.window_size ** 2
+    per_tok = (2 * c * 3 * c + 2 * c * c + 4 * t_attn * c
+               + 2 * c * ch * 2)
+    fwd_flops = batch * t * n_blocks * per_tok
+    train_flops = 4 * fwd_flops
+    peak = 197e12 if 'TPU' in str(jax.devices()[0]).upper() else 0
+    mfu = (train_flops * steps / dt / peak / max(1, n_chips)
+           if peak else 0.0)
+
     out = {
         'metric': 'swinir_x8_train_patches_per_sec_per_chip',
         'value': round(pps, 2),
@@ -142,6 +162,9 @@ def main():
             'device': str(jax.devices()[0]),
             'dtype': 'float32' if ns.f32 else 'bfloat16',
             'quick': bool(ns.quick),
+            'fused': fused,
+            'mfu_est': round(mfu, 4),
+            'train_tflops_per_step': round(train_flops / 1e12, 3),
             'loss': final_loss,
         },
     }

@@ -35,6 +35,9 @@ def init_net_g(netG: dict, args: dict) -> dict:
         out[f'{nt}_mlp_ratio'] = 2
         out[f'{nt}_upsampler'] = constants.US_PIXEL_SHUFFLE
         out[f'{nt}_resi_connection'] = constants.R_CONNECTION_1CONV
+        # fused VMEM block kernels for training-patch shapes (TPU);
+        # eval/large shapes fall back to the windowed path in-module.
+        out[f'{nt}_use_fused_blocks'] = True
         common()
 
     elif net_type == constants.EDSR_LIIF:

@@ -60,6 +60,9 @@ def define_g(args: dict) -> nn.Module:
                       mlp_ratio=float(_p(netG, nt, 'mlp_ratio')),
                       upsampler=_p(netG, nt, 'upsampler'),
                       resi_connection=_p(netG, nt, 'resi_connection'),
+                      fused_blocks=bool(netG.get(
+                          f'{safe_str_var(nt)}_use_fused_blocks',
+                          False)),
                       dtype=dtype)
     if nt == constants.DFCAN:
         from srcaco2_tpu.models.dfcan import DFCAN

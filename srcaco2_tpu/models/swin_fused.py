@@ -1,0 +1,177 @@
+"""FusedBlockStack: a stack of Swin transformer blocks with explicit
+stacked parameters and two compute paths.
+
+  * pallas path (training-patch shapes, T = H*W <= 256, TPU): every
+    block runs as ONE fused VMEM-resident kernel with a custom VJP
+    (ops/pallas/swin_block.py) — the shifted-window structure is folded
+    into a precomputed additive attention bias, so the whole stack is
+    a lax.scan of matmuls with near-zero HBM activation traffic.
+  * windowed jnp path (full-image eval, CPU, any shape): the classic
+    roll / window-partition / masked-window-attention formulation
+    (reference network_swinir.py:199), also scanned over the stacked
+    params so eval on 512^2 images compiles one block body.
+
+Both paths consume the SAME parameter tree, so a model trained through
+the kernel evaluates through the windowed path bit-compatibly (same
+math: f32 LN eps 1e-5 / erf-GELU / bf16 matmul inputs, f32 accum).
+
+Parameters are stacked over depth d with torch-compatible layouts
+(qkv kernel (C, 3C) with head-major columns, bias table
+((2ws-1)^2, nh)) so reference state_dicts port by simple transpose.
+"""
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from srcaco2_tpu.ops.pallas.swin_block import (
+    MAX_T, LN_EPS, _gelu, build_attn_bias, fused_swin_block,
+    full_attn_mask_and_index)
+from srcaco2_tpu.models.swinir import (relative_position_index,
+                                       shift_attn_mask,
+                                       window_partition, window_reverse)
+
+Dtype = Any
+
+
+def _pallas_ok() -> bool:
+    return jax.devices()[0].platform == 'tpu'
+
+
+class FusedBlockStack(nn.Module):
+    """depth Swin blocks (alternating shift 0 / ws//2) over stacked
+    explicit params. Input/output: (B, H, W, C) with H, W multiples of
+    window_size."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    dtype: Dtype = jnp.float32
+    use_pallas: str = 'auto'      # 'auto' | 'never' | 'interpret'
+
+    def _params(self):
+        d, c = self.depth, self.dim
+        ch = int(c * self.mlp_ratio)
+        nb = (2 * self.window_size - 1) ** 2
+        dense = nn.initializers.lecun_normal()
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        tnorm = nn.initializers.truncated_normal(0.02)
+        return {
+            'ln1_scale': self.param('ln1_scale', ones, (d, c)),
+            'ln1_bias': self.param('ln1_bias', zeros, (d, c)),
+            'qkv_kernel': self.param('qkv_kernel', dense, (d, c, 3 * c)),
+            'qkv_bias': self.param('qkv_bias', zeros, (d, 3 * c)),
+            'rel_pos_table': self.param('rel_pos_table', tnorm,
+                                        (d, nb, self.num_heads)),
+            'proj_kernel': self.param('proj_kernel', dense, (d, c, c)),
+            'proj_bias': self.param('proj_bias', zeros, (d, c)),
+            'ln2_scale': self.param('ln2_scale', ones, (d, c)),
+            'ln2_bias': self.param('ln2_bias', zeros, (d, c)),
+            'mlp1_kernel': self.param('mlp1_kernel', dense, (d, c, ch)),
+            'mlp1_bias': self.param('mlp1_bias', zeros, (d, ch)),
+            'mlp2_kernel': self.param('mlp2_kernel', dense, (d, ch, c)),
+            'mlp2_bias': self.param('mlp2_bias', zeros, (d, c)),
+        }
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = self._params()
+        t = h * w
+        mode = self.use_pallas
+        if mode == 'auto':
+            mode = 'pallas' if _pallas_ok() else 'never'
+        if t <= MAX_T and mode in ('pallas', 'interpret'):
+            return self._pallas_path(x, p, interpret=(mode ==
+                                                      'interpret'))
+        return self._windowed_path(x, p)
+
+    # ------------------------------------------------------------
+    def _pallas_path(self, x, p, interpret: bool):
+        b, h, w, c = x.shape
+        t = h * w
+        bias = build_attn_bias(p['rel_pos_table'], h, w,
+                               self.window_size)   # (d, nh, t, t)
+        tok = x.reshape(b, t, c).astype(self.dtype)
+        block_keys = [k for k in p if k != 'rel_pos_table']
+
+        def body(carry, ws_bias):
+            wsl, bi = ws_bias
+            y = fused_swin_block(carry, wsl, bi, heads=self.num_heads,
+                                 interpret=interpret,
+                                 compute_dtype=self.dtype)
+            return y, None
+
+        stacked = {k: p[k] for k in block_keys}
+        tok, _ = jax.lax.scan(body, tok, (stacked, bias))
+        return tok.reshape(b, h, w, c)
+
+    # ------------------------------------------------------------
+    def _windowed_path(self, x, p):
+        """Classic shifted-window formulation over stacked params.
+        Matches the pallas path numerically (f32 LN/softmax, bf16
+        matmul inputs when dtype is bf16)."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        nh = self.num_heads
+        hd = c // nh
+        n = ws * ws
+        d = self.depth
+        cdt = self.dtype
+        rel = relative_position_index(ws).reshape(-1)
+        smask = jnp.asarray(shift_attn_mask(h, w, ws, ws // 2))
+        shifts = jnp.asarray([0 if i % 2 == 0 else ws // 2
+                              for i in range(d)], jnp.int32)
+
+        def ln(z, g, bb):
+            zf = z.astype(jnp.float32)
+            mu = jnp.mean(zf, -1, keepdims=True)
+            var = jnp.var(zf, -1, keepdims=True)
+            zh = (zf - mu) * jax.lax.rsqrt(var + LN_EPS)
+            return (zh * g + bb).astype(cdt)
+
+        def dense(z, k, bb):
+            return (jnp.dot(z.astype(cdt), k.astype(cdt),
+                            preferred_element_type=jnp.float32)
+                    + bb).astype(cdt)
+
+        def body(carry, wsl):
+            shift = wsl['shift']
+            y = ln(carry, wsl['ln1_scale'], wsl['ln1_bias'])
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            yw = window_partition(y, ws)          # (b*nW, n, c)
+            qkv = dense(yw, wsl['qkv_kernel'], wsl['qkv_bias'])
+            qkv = qkv.reshape(-1, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = jnp.einsum(
+                'bhnd,bhmd->bhnm', (q * hd ** -0.5), k,
+                preferred_element_type=jnp.float32)
+            bias = wsl['rel_pos_table'][rel].reshape(n, n, nh)
+            attn = attn + bias.transpose(2, 0, 1)[None]
+            nw = (h // ws) * (w // ws)
+            mask = jnp.where(shift > 0, smask,
+                             jnp.zeros_like(smask))
+            attn = attn.reshape(-1, nw, nh, n, n) + mask[None, :, None]
+            attn = attn.reshape(-1, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            o = jnp.einsum('bhnm,bhmd->bhnd', attn.astype(cdt), v,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(cdt).transpose(0, 2, 1, 3).reshape(-1, n, c)
+            o = dense(o, wsl['proj_kernel'], wsl['proj_bias'])
+            y = window_reverse(o, ws, h, w)
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            z = carry + y
+            y2 = ln(z, wsl['ln2_scale'], wsl['ln2_bias'])
+            u = dense(y2, wsl['mlp1_kernel'], wsl['mlp1_bias'])
+            u = _gelu(u.astype(jnp.float32)).astype(cdt)
+            y2 = dense(u, wsl['mlp2_kernel'], wsl['mlp2_bias'])
+            return z + y2, None
+
+        stacked = {k: v for k, v in p.items()}
+        stacked['shift'] = shifts
+        out, _ = jax.lax.scan(body, x.astype(cdt), stacked)
+        return out

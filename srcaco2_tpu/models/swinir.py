@@ -138,7 +138,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(shift_attn_mask(h, w, ws, self.shift))
@@ -153,7 +153,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + y
         # MLP
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         hidden = int(c * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype)(y)
         y = nn.gelu(y)
@@ -199,11 +199,20 @@ class RSTB(nn.Module):
     scan_blocks: bool = True
     scan_unroll: int = 1
     remat_blocks: bool = True
+    fused: bool = False           # fused VMEM block kernel (swin_fused)
+    fused_mode: str = 'auto'      # 'auto' | 'never' | 'interpret'
 
     @nn.compact
     def __call__(self, x):
         res = x
-        if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
+        if self.fused:
+            from srcaco2_tpu.models.swin_fused import FusedBlockStack
+            x = FusedBlockStack(self.dim, self.depth, self.num_heads,
+                                self.window_size, self.mlp_ratio,
+                                dtype=self.dtype,
+                                use_pallas=self.fused_mode,
+                                name='blocks')(x)
+        elif self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
             # remat halves measured step time: the backward is HBM-
             # bandwidth bound, so recomputing the pair body from its
             # input beats streaming saved activations back from HBM.
@@ -248,13 +257,16 @@ class _ScanRSTB(nn.Module):
     resi_connection: str
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    fused: bool = False
+    fused_mode: str = 'auto'
 
     @nn.compact
     def __call__(self, x, _):
         x = RSTB(self.dim, self.depth, self.num_heads,
                  self.window_size, self.mlp_ratio,
                  self.resi_connection, dtype=self.dtype,
-                 use_pallas=self.use_pallas)(x)
+                 use_pallas=self.use_pallas, fused=self.fused,
+                 fused_mode=self.fused_mode)(x)
         return x, None
 
 
@@ -273,6 +285,8 @@ class SwinIR(nn.Module):
     use_pallas_attn: bool = False
     scan_stages: bool = True
     scan_unroll: int = 1
+    fused_blocks: bool = False    # fused VMEM block kernels w/ custom
+    fused_mode: str = 'auto'      # VJP for training-patch shapes
 
     def pad_to_window(self, x_nhwc):
         """Reflect-pad H,W to window multiples (check_image_size:908);
@@ -317,6 +331,7 @@ class SwinIR(nn.Module):
                 self.window_size, self.mlp_ratio,
                 self.resi_connection, dtype=self.dtype,
                 use_pallas=self.use_pallas_attn,
+                fused=self.fused_blocks, fused_mode=self.fused_mode,
                 name='stages')(body, None)
         else:
             for i, (d, nh) in enumerate(zip(self.depths,
@@ -325,8 +340,10 @@ class SwinIR(nn.Module):
                             self.mlp_ratio, self.resi_connection,
                             dtype=self.dtype,
                             use_pallas=self.use_pallas_attn,
+                            fused=self.fused_blocks,
+                            fused_mode=self.fused_mode,
                             name=f'rstb{i}')(body)
-        body = nn.LayerNorm(dtype=self.dtype)(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(body)
         body = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_after_body')(body)
         feat = feat + body

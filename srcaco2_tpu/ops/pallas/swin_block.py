@@ -1,0 +1,474 @@
+"""Pallas TPU kernel: fully-fused Swin transformer block with custom VJP.
+
+The SwinIR training step (the framework flagship; reference
+network_swinir.py:199 SwinTransformerBlock) is HBM-bandwidth bound on
+TPU: each block's LN/qkv/attention/proj/MLP round-trips ~200MB of
+activations through HBM per step at the benchmark config. This kernel
+runs the ENTIRE block — LN1 -> qkv -> masked multi-head attention ->
+proj -> residual -> LN2 -> MLP -> residual — in VMEM, reading the
+(B, T, C) activation once and writing it once (~12MB), with a custom
+VJP whose backward kernel recomputes the intermediates in VMEM
+(flash-attention style) instead of streaming them from HBM.
+
+TPU-first reformulation ("full-attention"): for training patches the
+token count T = H*W is tiny (16x16 = 256 for the x8 flagship), so both
+W-MSA and shifted W-MSA are expressed as ONE masked T x T attention in
+raster token order. The cyclic shift, window partition and shift mask
+(network_swinir.py:239 torch.roll / :57 window_partition /
+:276 calculate_mask) all collapse into a single precomputed additive
+(heads, T, T) bias tensor: tokens i, j attend iff they land in the same
+window after the shift, with the learned relative-position bias at
+their in-window offset, and -1e9 otherwise. No rolls, no 6-D
+reshape/transpose layout ops — just MXU matmuls and a VPU softmax.
+This spends 4x the attention FLOPs of 64-token windowing but attention
+is ~8% of block FLOPs, and the (T, hd) matmuls pipeline far better on
+the 128x128 MXU than (64, 30) slivers.
+
+Eligible for T <= MAX_T tokens (training-patch shapes); larger inputs
+(full-image eval) use the windowed jnp path in models/swin_fused.py.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_T = 256          # full-attention token cap (VMEM budget)
+NEG_INF = -1e9
+
+# -----------------------------------------------------------------
+# trace-time constants: combined window-membership mask + relative
+# position index, in raster token order, shift folded in.
+# -----------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def full_attn_mask_and_index(h: int, w: int, ws: int, shift: int):
+    """Returns (mask (T,T) float32 additive {0, NEG_INF},
+    rel_index (T,T) int32 into the (2ws-1)^2 bias table).
+
+    Attend semantics match torch SwinIR exactly: after roll by -shift,
+    tokens attend iff same ws x ws window AND same shift region (the
+    calculate_mask -100 regions, network_swinir.py:276), i.e. no
+    attention across the cyclic wrap.
+    """
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    ys, xs = ys.reshape(-1), xs.reshape(-1)            # raster order
+    # rolled coordinates (position in the shifted image)
+    yr = (ys - shift) % h
+    xr = (xs - shift) % w
+    win = (yr // ws) * (w // ws) + (xr // ws)
+
+    def region(v, n):
+        # 0: body, 1: [n-ws, n-shift), 2: [n-shift, n)  (on ROLLED pos)
+        r = np.zeros_like(v)
+        if shift > 0:
+            r = np.where(v >= n - ws, 1, r)
+            r = np.where(v >= n - shift, 2, r)
+        return r
+
+    reg = region(yr, h) * 3 + region(xr, w)
+    same = (win[:, None] == win[None, :]) & \
+           (reg[:, None] == reg[None, :])
+    mask = np.where(same, 0.0, NEG_INF).astype(np.float32)
+
+    # in-window relative offsets (rolled coords mod ws), torch layout:
+    # idx = (dy + ws - 1) * (2ws - 1) + (dx + ws - 1)
+    wy, wx = yr % ws, xr % ws
+    dy = wy[:, None] - wy[None, :] + ws - 1
+    dx = wx[:, None] - wx[None, :] + ws - 1
+    rel = (dy * (2 * ws - 1) + dx).astype(np.int32)
+    return mask, rel
+
+
+@functools.lru_cache(maxsize=None)
+def _take_table_op(h: int, w: int, ws: int, shift: int):
+    """Gather table rows by the (T,T) relative-position index, with a
+    custom VJP: XLA's native gather-transpose is a scatter-add, which
+    measures at ~0.5ms per block on v5e (17ms/step for the flagship's
+    36 blocks). The cotangent is instead computed as a one-hot matmul
+    dtable = onehot(rel) @ dbias — an MXU op, ~100x faster."""
+    _, rel = full_attn_mask_and_index(h, w, ws, shift)
+    rel_flat = rel.reshape(-1)
+    nb = (2 * ws - 1) ** 2
+
+    @jax.custom_vjp
+    def take(table):                       # (nb, nh) -> (T*T, nh)
+        return table[rel_flat]
+
+    def fwd(table):
+        return table[rel_flat], None
+
+    def bwd(_, g):                         # g: (T*T, nh)
+        oh = (jnp.asarray(rel_flat)[None, :]
+              == jnp.arange(nb)[:, None]).astype(g.dtype)
+        return (oh @ g,)
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
+def build_attn_bias(tables: jax.Array, h: int, w: int, ws: int,
+                    dtype=jnp.float32) -> jax.Array:
+    """tables: (d, (2ws-1)^2, nh) learned bias tables for d blocks.
+    Returns (d, nh, T, T) combined additive bias (learned rel-pos bias
+    + window/shift mask), block i shifted iff i odd (SwinIR order).
+    Differentiable in `tables` (matmul-backward gather, no scatter)."""
+    d, _, nh = tables.shape
+    t = h * w
+    outs = []
+    for i in range(d):
+        shift = 0 if i % 2 == 0 else ws // 2
+        mask, _ = full_attn_mask_and_index(h, w, ws, shift)
+        bias = _take_table_op(h, w, ws, shift)(tables[i])
+        bias = bias.reshape(t, t, nh).transpose(2, 0, 1)
+        outs.append(bias + jnp.asarray(mask)[None])
+    return jnp.stack(outs).astype(dtype)
+
+
+# -----------------------------------------------------------------
+# shared math
+# -----------------------------------------------------------------
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default (reference parity)
+
+
+def _ln(x, g, b):
+    """LayerNorm over the last axis, f32. g, b: (1, C)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    return xhat * g + b, xhat, rstd
+
+
+_GC = 0.7978845608028654        # sqrt(2/pi)
+_GA = 0.044715
+
+
+def _gelu(u):
+    """tanh-approximate GELU (flax nn.gelu default; the rest of the
+    framework's transformer blocks use the same). Deviation from torch's
+    exact erf GELU is <= ~3e-4 absolute — far below bf16 training noise
+    (documented in PARITY.md)."""
+    g = _GC * (u + _GA * u * u * u)
+    return 0.5 * u * (1.0 + jnp.tanh(g))
+
+
+def _gelu_grad(u):
+    g = _GC * (u + _GA * u * u * u)
+    th = jnp.tanh(g)
+    sech2 = 1.0 - th * th
+    return 0.5 * (1.0 + th) + 0.5 * u * sech2 * _GC * \
+        (1.0 + 3.0 * _GA * u * u)
+
+
+def _dot(a, b, cdt, out=jnp.float32):
+    return jnp.dot(a.astype(cdt), b.astype(cdt),
+                   preferred_element_type=out)
+
+
+def _dotg(a, b, dims, cdt, out=jnp.float32):
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
+                               dimension_numbers=dims,
+                               preferred_element_type=out)
+
+
+# batched (over images) dims for per-head attention matmuls
+_QK = (((2,), (2,)), ((0,), (0,)))    # (b,i,d)x(b,j,d) -> (b,i,j)
+_PV = (((2,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,j,d) -> (b,i,d)
+_PT = (((1,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,i,d) -> (b,j,d)
+
+
+def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
+              with_probs=False):
+    """qkv: (ib*t, 3c) cdt, q columns PRE-SCALED by hd**-0.5 (folded
+    into the qkv weights outside the kernel). Softmax division is
+    deferred to the (t, hd) output — one (t, t) VPU pass saved. Returns
+    O (ib*t, c) cdt and per-head residuals for the backward."""
+    hd = c // heads
+    o_parts, saved = [], []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
+        k = qkv[:, c + h * hd:c + (h + 1) * hd].reshape(ib, t, hd)
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(
+            ib, t, hd)
+        s = _dotg(q, k, _QK, cdt) + bias_ref[h][None]      # f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(cdt)                     # (ib,t,t)
+        r = jnp.sum(e, axis=-1, keepdims=True,
+                    dtype=jnp.float32)                     # (ib,t,1)
+        rinv = 1.0 / r
+        o = _dotg(e, v, _PV, cdt) * rinv                   # f32
+        o_parts.append(o.astype(cdt).reshape(ib * t, hd))
+        if with_probs:
+            saved.append((q, k, v, e, rinv))
+    return jnp.concatenate(o_parts, axis=-1), saved
+
+
+def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt):
+    """Forward math shared by the fwd kernel and the bwd recompute.
+    x: (ib*t, c) f32 residual stream; large intermediates are stored in
+    cdt (bf16 in training) to halve VMEM traffic — Mosaic executes each
+    op as a separate VMEM pass, so byte traffic, not FLOPs, dominates
+    the elementwise cost."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = refs
+    y, xhat1, rstd1 = _ln(x, g1[:], b1[:])
+    yc = y.astype(cdt)
+    qkv = (_dot(yc, wqkv[:], cdt) + bqkv[:]).astype(cdt)
+    o, saved = _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
+                         with_probs=True)
+    a = _dot(o, wproj[:], cdt) + bproj[:]
+    x2 = x + a
+    y2, xhat2, rstd2 = _ln(x2, g2[:], b2[:])
+    y2c = y2.astype(cdt)
+    u = (_dot(y2c, w1[:], cdt) + bm1[:]).astype(cdt)
+    hact = _gelu(u)
+    o2 = _dot(hact, w2[:], cdt) + bm2[:]
+    out = x2 + o2
+    inter = dict(y=yc, xhat1=xhat1, rstd1=rstd1, qkv=qkv, o=o, x2=x2,
+                 y2=y2c, xhat2=xhat2, rstd2=rstd2, u=u, hact=hact,
+                 saved=saved)
+    return out, inter
+
+
+def _fwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
+                bm1, w2, bm2, bias_ref, out_ref, *, heads, cdt):
+    ib, t, c = x_ref.shape
+    x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
+    out, _ = _block_fwd_math(x, refs, bias_ref, ib, t, c, heads,
+                             cdt)
+    out_ref[:] = out.reshape(ib, t, c).astype(out_ref.dtype)
+
+
+def _ln_bwd(dy, g, xhat, rstd):
+    """d(LN(x))/dx given upstream dy; also returns (dgamma, dbeta)."""
+    dxhat = dy * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * rstd
+    return dx, jnp.sum(dy * xhat, axis=0, keepdims=True), \
+        jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
+                bm1, w2, bm2, bias_ref, dout_ref,
+                dx_ref, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2,
+                db2, dw1, dbm1, dw2, dbm2, dbias, *, heads, cdt):
+    ib, t, c = x_ref.shape
+    hd = c // heads
+    accs = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1,
+            dbm1, dw2, dbm2, dbias)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in accs:
+            r[...] = jnp.zeros_like(r)
+
+    x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
+    _, it = _block_fwd_math(x, refs, bias_ref, ib, t, c, heads,
+                            cdt)
+
+    g = dout_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    # out = x2 + h @ W2 + bm2
+    dw2[...] += _dotg(it['hact'], g, (((0,), (0,)), ((), ())), cdt)
+    dbm2[...] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)        # (m, ch)
+    du = dh * _gelu_grad(it['u'])
+    dw1[...] += _dotg(it['y2'], du, (((0,), (0,)), ((), ())), cdt)
+    dbm1[...] += jnp.sum(du, axis=0, keepdims=True)
+    dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)      # (m, c)
+    dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'], it['rstd2'])
+    dg2[...] += dg2v
+    db2[...] += db2v
+    dx2 = g + dx2_ln
+    # x2 = x + O @ Wp + bp
+    dwproj[...] += _dotg(it['o'], dx2, (((0,), (0,)), ((), ())), cdt)
+    dbproj[...] += jnp.sum(dx2, axis=0, keepdims=True)
+    do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
+    # attention backward, per head
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        q, k, v, e, rinv = it['saved'][h]
+        p = (e.astype(jnp.float32) * rinv).astype(cdt)
+        doh = do[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
+        dp = _dotg(doh, v, _QK, cdt)                      # (ib, t, t)
+        dv = _dotg(p, doh, _PT, cdt)                      # (ib, t, hd)
+        rs = jnp.sum(dp * p, axis=-1, keepdims=True,
+                     dtype=jnp.float32)
+        ds = p * (dp - rs)
+        dbias[h] += jnp.sum(ds, axis=0)
+        # q columns were pre-scaled outside; no extra scale here
+        dq = _dotg(ds, k, _PV, cdt)                       # (ib, t, hd)
+        dk = _dotg(ds, q, _PT, cdt)                       # (ib, t, hd)
+        dqs.append(dq.reshape(ib * t, hd))
+        dks.append(dk.reshape(ib * t, hd))
+        dvs.append(dv.reshape(ib * t, hd))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)      # (m, 3c)
+    dwqkv[...] += _dotg(it['y'], dqkv, (((0,), (0,)), ((), ())), cdt)
+    dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
+    dx_ln, dg1v, db1v = _ln_bwd(dy, g1[:], it['xhat1'], it['rstd1'])
+    dg1[...] += dg1v
+    db1[...] += db1v
+    dx = dx2 + dx_ln
+    dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
+
+
+# -----------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# -----------------------------------------------------------------
+
+
+def _pick_img_blk(b: int, t: int) -> int:
+    """Images per grid step: keep the per-program working set well
+    under VMEM (~16MB) while giving matmuls >= 512 rows."""
+    target = max(1, 512 // t)
+    ib = min(b, target)
+    while b % ib:
+        ib -= 1
+    return ib
+
+
+def _weight_specs(shapes):
+    return [pl.BlockSpec(s, lambda i, n=len(s): (0,) * n,
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _w_shapes(c, ch, nh, t):
+    return [(1, c), (1, c), (c, 3 * c), (1, 3 * c), (c, c), (1, c),
+            (1, c), (1, c), (c, ch), (1, ch), (ch, c), (1, c),
+            (nh, t, t)]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_op(heads: int, interpret: bool, cdt):
+    """Returns fused_block(x, *ws, bias) with custom VJP.
+    x: (B, T, C) activation dtype; weights f32 as (1,n)/(m,n) 2-D;
+    bias: (nh, T, T) f32. Gradients: dx in x.dtype, weights f32."""
+
+    def call_fwd(x, *wb):
+        b, t, c = x.shape
+        ib = _pick_img_blk(b, t)
+        ch = wb[8].shape[1]
+        grid = (b // ib,)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, heads=heads, cdt=cdt),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            grid=grid,
+            in_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + _weight_specs(_w_shapes(c, ch, heads, t)),
+            out_specs=pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, *wb)
+
+    @jax.custom_vjp
+    def fused_block(x, *wb):
+        return call_fwd(x, *wb)
+
+    def fwd(x, *wb):
+        return call_fwd(x, *wb), (x,) + wb
+
+    def bwd(res, dout):
+        x, *wb = res
+        b, t, c = x.shape
+        ib = _pick_img_blk(b, t)
+        ch = wb[8].shape[1]
+        grid = (b // ib,)
+        w_shapes = _w_shapes(c, ch, heads, t)
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel, heads=heads, cdt=cdt),
+            out_shape=[jax.ShapeDtypeStruct((b, t, c), x.dtype)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32)
+               for s in w_shapes],
+            grid=grid,
+            in_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + _weight_specs(w_shapes)
+            + [pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+            + _weight_specs(w_shapes),
+            interpret=interpret,
+        )(x, *wb, dout)
+        return tuple(outs)
+
+    fused_block.defvjp(fwd, bwd)
+    return fused_block
+
+
+def _prescale_qkv(wqkv, bqkv, heads):
+    """Fold the attention scale hd**-0.5 into the q third of the qkv
+    weights/bias (differentiable; XLA chains the grad automatically),
+    saving a (T, hd) VPU pass per head inside the kernel."""
+    c = wqkv.shape[0]
+    scale = (c // heads) ** -0.5
+    colmul = jnp.concatenate([jnp.full((1, c), scale, wqkv.dtype),
+                              jnp.ones((1, 2 * c), wqkv.dtype)], -1)
+    return wqkv * colmul, bqkv * colmul
+
+
+def fused_swin_block(x, params, bias, *, heads: int,
+                     interpret: bool = False,
+                     compute_dtype=jnp.bfloat16):
+    """One fused Swin block. x: (B, T, C); params: dict with keys
+    ln1_scale, ln1_bias (C,), qkv_kernel (C,3C), qkv_bias (3C,),
+    proj_kernel (C,C), proj_bias (C,), ln2_scale, ln2_bias (C,),
+    mlp1_kernel (C,Ch), mlp1_bias (Ch,), mlp2_kernel (Ch,C),
+    mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias."""
+    op = _make_block_op(heads, interpret,
+                        jnp.dtype(compute_dtype))
+    f32 = jnp.float32
+
+    def v(name):
+        return params[name].astype(f32).reshape(1, -1)
+
+    wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
+                           v('qkv_bias'), heads)
+    wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
+          params['proj_kernel'].astype(f32), v('proj_bias'),
+          v('ln2_scale'), v('ln2_bias'),
+          params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+          params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+          bias.astype(f32))
+    return op(x, *wb)
+
+
+def swin_block_ref(x, params, bias, *, heads: int,
+                   compute_dtype=jnp.bfloat16):
+    """Pure-jnp oracle with IDENTICAL math (full-attention formulation,
+    f32 accumulation, bf16 matmul inputs) for kernel tests."""
+    b, t, c = x.shape
+    f32 = jnp.float32
+
+    def v(name):
+        return params[name].astype(f32).reshape(1, -1)
+
+    wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
+                           v('qkv_bias'), heads)
+    refs = (v('ln1_scale'), v('ln1_bias'), wq, bq,
+            params['proj_kernel'].astype(f32), v('proj_bias'),
+            v('ln2_scale'), v('ln2_bias'),
+            params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+            params['mlp2_kernel'].astype(f32), v('mlp2_bias'))
+
+    class _R:  # mimic refs ([:] access) for _block_fwd_math
+        def __init__(self, a):
+            self.a = a
+
+        def __getitem__(self, k):
+            return self.a[k]
+
+    rr = tuple(_R(a) for a in refs)
+    xf = x.reshape(b * t, c).astype(f32)
+    out, _ = _block_fwd_math(xf, rr, _R(bias.astype(f32)), b, t, c,
+                             heads, jnp.dtype(compute_dtype))
+    return out.reshape(b, t, c).astype(x.dtype)
