@@ -29,7 +29,16 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 
 def _fits(t_shape: tuple, f_shape: tuple) -> Optional[Callable]:
-    """Returns the torch->flax relayout fn, or None if incompatible."""
+    """Returns the torch->flax relayout fn, or None if incompatible.
+
+    2-D transposition takes priority over shape equality: a SQUARE
+    torch Linear weight (O==I) has the same shape as the flax kernel
+    but still needs the (O,I)->(I,O) transpose — matching by equality
+    here silently ported square proj/mlp weights untransposed (caught
+    by the SwinIR differential test). Square non-layer 2-D tables are
+    the rare converse; use `overrides` for those."""
+    if len(t_shape) == 2 and f_shape == t_shape[::-1]:   # Linear
+        return lambda a: a.T
     if t_shape == f_shape:
         return lambda a: a
     if len(t_shape) == 4:
@@ -38,8 +47,6 @@ def _fits(t_shape: tuple, f_shape: tuple) -> Optional[Callable]:
             return lambda a: a.transpose(2, 3, 1, 0)
         if f_shape == (kh, kw, o, i):                    # ConvTranspose
             return lambda a: a.transpose(2, 3, 0, 1)
-    if len(t_shape) == 2 and f_shape == t_shape[::-1]:   # Linear
-        return lambda a: a.T
     return None
 
 
@@ -81,75 +88,99 @@ def torch_named_params(module) -> List[Tuple[str, np.ndarray]]:
             for n, p in module.named_parameters()]
 
 
-def port_swin_fused(torch_params: List[Tuple[str, np.ndarray]],
-                    flax_params: Dict) -> Dict:
-    """SwinIR with fused_blocks=True: the FusedBlockStack stores each
-    RSTB's block params as depth-stacked arrays. Torch per-block params
-    named '...layers.{s}.residual_group.blocks.{b}.<leaf>' are stacked
-    over b into the stack leaves; everything else ports in order."""
-    flat = flatten_dict(flax_params)
-    # split flax keys into stacked-block leaves and plain leaves
-    blocks = {}           # (stage_path, leaf) -> key
-    plain_keys = []
-    for k in flat:
-        if 'blocks' in k and k[-1] in (
-                'ln1_scale', 'ln1_bias', 'qkv_kernel', 'qkv_bias',
-                'rel_pos_table', 'proj_kernel', 'proj_bias',
-                'ln2_scale', 'ln2_bias', 'mlp1_kernel', 'mlp1_bias',
-                'mlp2_kernel', 'mlp2_bias'):
-            blocks[k] = []
-        else:
-            plain_keys.append(k)
+_SWIN_LEAF_OF = {
+    'norm1.weight': 'ln1_scale', 'norm1.bias': 'ln1_bias',
+    'attn.relative_position_bias_table': 'rel_pos_table',
+    'attn.qkv.weight': 'qkv_kernel', 'attn.qkv.bias': 'qkv_bias',
+    'attn.proj.weight': 'proj_kernel', 'attn.proj.bias': 'proj_bias',
+    'norm2.weight': 'ln2_scale', 'norm2.bias': 'ln2_bias',
+    'mlp.fc1.weight': 'mlp1_kernel', 'mlp.fc1.bias': 'mlp1_bias',
+    'mlp.fc2.weight': 'mlp2_kernel', 'mlp.fc2.bias': 'mlp2_bias',
+}
+_SWIN_TORCH_OF = {v: k for k, v in _SWIN_LEAF_OF.items()}
 
-    leaf_of = {
-        'norm1.weight': 'ln1_scale', 'norm1.bias': 'ln1_bias',
-        'attn.relative_position_bias_table': 'rel_pos_table',
-        'attn.qkv.weight': 'qkv_kernel', 'attn.qkv.bias': 'qkv_bias',
-        'attn.proj.weight': 'proj_kernel',
-        'attn.proj.bias': 'proj_bias',
-        'norm2.weight': 'ln2_scale', 'norm2.bias': 'ln2_bias',
-        'mlp.fc1.weight': 'mlp1_kernel', 'mlp.fc1.bias': 'mlp1_bias',
-        'mlp.fc2.weight': 'mlp2_kernel', 'mlp.fc2.bias': 'mlp2_bias',
-    }
+
+def port_swinir(torch_params: List[Tuple[str, np.ndarray]],
+                flax_params: Dict) -> Dict:
+    """Name-based port of a reference SwinIR state_dict into this
+    framework's SwinIR with fused_blocks=True (the production layout:
+    lax.scan over uniform stages stacks stage params with a leading
+    stage dim; FusedBlockStack stacks block params over depth).
+
+    Reference names (network_swinir.py:710): conv_first,
+    patch_embed.norm, layers.{s}.conv,
+    layers.{s}.residual_group.blocks.{b}.<leaf>, norm, conv_after_body,
+    conv_before_upsample.0, upsample.{2i}, conv_last."""
     import re
-    plain_torch = []
-    stacked = {}          # (stage, leaf) -> {block_idx: arr}
-    for name, arr in torch_params:
-        m = re.search(r'layers\.(\d+)\.residual_group\.blocks\.(\d+)\.'
-                      r'(.+)$', name)
-        if m and m.group(3) in leaf_of:
-            s, b, leaf = int(m.group(1)), int(m.group(2)), \
-                leaf_of[m.group(3)]
-            stacked.setdefault((s, leaf), {})[b] = arr
-        else:
-            plain_torch.append((name, arr))
-
+    tp = {n: np.asarray(a) for n, a in torch_params}
+    flat = flatten_dict(flax_params)
     out = {}
-    # plain params: order-based
-    sub = port_state_dict(plain_torch,
-                          unflatten_dict({k: flat[k]
-                                          for k in plain_keys}))
-    out.update(flatten_dict(sub))
 
-    # stacked block params: keyed by stage order in the flax tree
-    stage_keys = sorted({k[:-1] for k in blocks})
-    assert len(stage_keys) == len({s for s, _ in stacked}), \
-        (stage_keys, sorted({s for s, _ in stacked}))
-    for si, sk in enumerate(sorted(stage_keys)):
-        for leaf in ('ln1_scale', 'ln1_bias', 'qkv_kernel', 'qkv_bias',
-                     'rel_pos_table', 'proj_kernel', 'proj_bias',
-                     'ln2_scale', 'ln2_bias', 'mlp1_kernel',
-                     'mlp1_bias', 'mlp2_kernel', 'mlp2_bias'):
-            key = sk + (leaf,)
-            if key not in flat:
-                raise KeyError(key)
-            per_block = stacked[(si, leaf)]
-            arrs = [per_block[b] for b in sorted(per_block)]
-            want = tuple(flat[key].shape[1:])
-            relayout = _fits(tuple(arrs[0].shape), want)
-            if relayout is None:
-                raise ValueError((leaf, arrs[0].shape, want))
-            out[key] = jnp.asarray(
-                np.stack([relayout(a) for a in arrs]),
-                flat[key].dtype)
+    def relayout(arr, want):
+        fn = _fits(tuple(arr.shape), tuple(want))
+        if fn is None:
+            raise ValueError((arr.shape, want))
+        return fn(arr)
+
+    def stacked(key, names_nd):
+        """names_nd: nested list matching the leading stack dims."""
+        want_leaf = flat[key].shape[len(np.shape(names_nd)):]
+
+        def build(n):
+            if isinstance(n, str):
+                return relayout(tp.pop(n), want_leaf)
+            return np.stack([build(x) for x in n])
+        out[key] = jnp.asarray(build(names_nd), flat[key].dtype)
+
+    # infer stage/depth structure from the torch names
+    stages = sorted({int(m.group(1)) for n in tp
+                     if (m := re.match(r'layers\.(\d+)\.', n))})
+    depth = {s: 1 + max(int(m.group(1)) for n in tp
+                        if (m := re.search(
+                            rf'layers\.{s}\.residual_group\.blocks'
+                            rf'\.(\d+)\.', n)))
+             for s in stages}
+
+    for key in flat.keys():
+        ks = '/'.join(key)
+        leaf = key[-1]
+        wb = 'weight' if leaf in ('kernel', 'scale') else 'bias'
+        if ks.startswith('conv_first/'):
+            stacked(key, f'conv_first.{wb}')
+        elif ks.startswith('patch_norm/'):
+            stacked(key, f'patch_embed.norm.{wb}')
+        elif ks.startswith('LayerNorm_0/'):
+            stacked(key, f'norm.{wb}')
+        elif ks.startswith('conv_after_body/'):
+            stacked(key, f'conv_after_body.{wb}')
+        elif ks.startswith('conv_before_up/'):
+            stacked(key, f'conv_before_upsample.0.{wb}')
+        elif ks.startswith('conv_last/'):
+            stacked(key, f'conv_last.{wb}')
+        elif ks.startswith('UpsamplerDirect_0/'):
+            stacked(key, f'upsample.0.{wb}')
+        elif ks.startswith('Upsampler_0/'):
+            i = int(re.search(r'Conv_(\d+)', ks).group(1))
+            stacked(key, f'upsample.{2 * i}.{wb}')
+        elif 'blocks' in key and leaf in _SWIN_TORCH_OF:
+            tleaf = _SWIN_TORCH_OF[leaf]
+            if key[0] == 'stages':      # (S, d, ...) double stack
+                names = [[f'layers.{s}.residual_group.blocks.{b}.'
+                          f'{tleaf}' for b in range(depth[s])]
+                         for s in stages]
+            else:                        # rstb{s}: (d, ...) stack
+                s0 = int(re.match(r'rstb(\d+)', key[0]).group(1))
+                names = [f'layers.{s0}.residual_group.blocks.{b}.'
+                         f'{tleaf}' for b in range(depth[s0])]
+            stacked(key, names)
+        elif key[0] == 'stages' and 'Conv' in ks:
+            names = [f'layers.{s}.conv.{wb}' for s in stages]
+            stacked(key, names)
+        elif re.match(r'rstb\d+$', key[0]):
+            s0 = int(re.match(r'rstb(\d+)', key[0]).group(1))
+            stacked(key, f'layers.{s0}.conv.{wb}')
+        else:
+            raise KeyError(f'unmapped flax param {ks}')
+    if tp:
+        raise ValueError(f'unconsumed torch params: {sorted(tp)}')
     return unflatten_dict(out)

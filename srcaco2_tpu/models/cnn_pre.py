@@ -88,15 +88,21 @@ class DRRN(nn.Module):
         h0 = nn.Conv(self.features, (3, 3), use_bias=False,
                      dtype=self.dtype, kernel_init=kinit)(nn.relu(inp))
         # shared-weight recursive unit: two pre-activation convs.
+        # The residual shortcut is relu(h0), NOT h0: the reference's
+        # recursive unit starts with nn.ReLU(inplace=True), which
+        # mutates the saved shortcut tensor in place on the first
+        # iteration (network_drrn.py:28,40-42) — verified by
+        # differential test (tests/test_parity_torch.py).
         conv1 = nn.Conv(self.features, (3, 3), use_bias=False,
                         dtype=self.dtype, kernel_init=kinit, name='rec1')
         conv2 = nn.Conv(self.features, (3, 3), use_bias=False,
                         dtype=self.dtype, kernel_init=kinit, name='rec2')
-        h = h0
+        shortcut = nn.relu(h0)
+        h = shortcut
         for _ in range(self.num_residual_units):
             z = conv1(nn.relu(h))
             z = conv2(nn.relu(z))
-            h = h0 + z
+            h = shortcut + z
         out = nn.Conv(self.in_chans, (3, 3), use_bias=False,
                       dtype=self.dtype, kernel_init=kinit)(nn.relu(h))
         res = nhwc_to_nchw(out)
@@ -104,36 +110,60 @@ class DRRN(nn.Module):
                 'global_residual': res}
 
 
+class _MemResidualBlock(nn.Module):
+    """Pre-activation residual block, BN variant
+    (network_memnet.py:25): BN-ReLU-conv-BN-ReLU-conv + identity."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        h = Conv(self.features, 3, use_bias=False,
+                 dtype=self.dtype)(nn.relu(h))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(h)
+        h = Conv(self.features, 3, use_bias=False,
+                 dtype=self.dtype)(nn.relu(h))
+        return x + h
+
+
 class _MemoryBlock(nn.Module):
-    """MemNet memory block: R recursive residual units (shared recursive
-    weights inside the block) + gate conv fusing all unit outputs with the
-    long-term memories."""
+    """MemNet memory block (network_memnet.py:45): R DISTINCT
+    pre-activation residual blocks; the forward pushes the state
+    through the whole R-block chain R times, collecting the chain
+    output after each pass (R^2 block applications — upstream's exact
+    recursion quirk), then gates concat(short_outs + long_outs) with
+    BN-ReLU-1x1conv."""
     features: int
     num_resblocks: int
     n_memories: int          # number of long-term memory inputs
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, long_term):
-        # recursive unit (shared weights within the block)
-        b1 = nn.Sequential([nn.relu, Conv(self.features, 3,
-                                          dtype=self.dtype)])
-        b2 = nn.Sequential([nn.relu, Conv(self.features, 3,
-                                          dtype=self.dtype)])
+    def __call__(self, x, long_term, train: bool = False):
+        blocks = [_MemResidualBlock(self.features, dtype=self.dtype)
+                  for _ in range(self.num_resblocks)]
         outs = []
         h = x
         for _ in range(self.num_resblocks):
-            h = x + b2(b1(h))
+            for blk in blocks:
+                h = blk(h, train)
             outs.append(h)
         gate_in = jnp.concatenate(outs + long_term, axis=-1)
-        gate = nn.Conv(self.features, (1, 1), dtype=self.dtype)(
-            nn.relu(gate_in))
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(gate_in)
+        gate = nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype)(nn.relu(g))
         return gate
 
 
 class MemNet(nn.Module):
-    """Memory network with gated dense recursion and internal bicubic
-    upscale (reference: network_memnet.py:80)."""
+    """Memory network, BN variant with gated dense recursion and
+    internal bicubic upscale (reference: network_memnet.py:80;
+    architecture verified by weight-ported differential test,
+    tests/test_parity_torch.py)."""
     in_chans: int = 1
     upscale: int = 2
     num_memory_blocks: int = 6
@@ -145,15 +175,21 @@ class MemNet(nn.Module):
     def __call__(self, x, train: bool = False):
         x_up = bicubic_up(x, self.upscale)
         y = nchw_to_nhwc(x_up)
-        feat = Conv(self.features, 3, dtype=self.dtype)(nn.relu(y))
+        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(y)
+        feat = Conv(self.features, 3, use_bias=False,
+                    dtype=self.dtype)(nn.relu(f))
         long_term = [feat]
         h = feat
         for i in range(self.num_memory_blocks):
             h = _MemoryBlock(self.features, self.num_residual_blocks,
                              n_memories=i + 1, dtype=self.dtype,
-                             name=f'memblock{i}')(h, long_term)
+                             name=f'memblock{i}')(h, long_term, train)
             long_term.append(h)
-        out = Conv(self.in_chans, 3, dtype=self.dtype)(nn.relu(h))
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(h)
+        out = nn.Conv(self.in_chans, (1, 1), use_bias=False,
+                      dtype=self.dtype)(nn.relu(r))
         res = nhwc_to_nchw(out)
         return {'out': x_up + res, 'x_interp': x_up,
                 'global_residual': res}

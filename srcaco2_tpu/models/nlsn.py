@@ -117,7 +117,9 @@ class NonLocalSparseAttention(nn.Module):
         probs = jax.nn.softmax(bsc.reshape(b, self.n_hashes, L, 1),
                                axis=1)
         out = (ret * probs).sum(axis=1).reshape(b, h, w, self.channels)
-        return out + self.res_scale * x
+        # the attention OUTPUT is scaled, not the residual input
+        # (network_nlsn.py:267: ret * self.res_scale + input)
+        return self.res_scale * out + x
 
 
 class NLSN(nn.Module):

@@ -206,6 +206,17 @@ def init_params(module: nn.Module, rng: jax.Array,
     return module.init(rng, sample_input, train=False)['params']
 
 
+def init_variables(module: nn.Module, rng: jax.Array,
+                   sample_input: jax.Array) -> Tuple[Dict, Dict]:
+    """(params, model_state): model_state holds the non-param
+    collections (batch_stats for BN models like MemNet); empty dict
+    when the model is stateless."""
+    variables = module.init(rng, sample_input, train=False)
+    params = variables['params']
+    model_state = {k: v for k, v in variables.items() if k != 'params'}
+    return params, model_state
+
+
 # ------------------------------------------------------------ init schemes
 def _fans(shape):
     """fan_in/fan_out for conv (H,W,I,O) or dense (I,O) kernels."""

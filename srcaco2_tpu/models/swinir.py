@@ -287,6 +287,8 @@ class SwinIR(nn.Module):
     scan_unroll: int = 1
     fused_blocks: bool = False    # fused VMEM block kernels w/ custom
     fused_mode: str = 'auto'      # VJP for training-patch shapes
+    patch_norm: bool = True       # LayerNorm after embedding
+                                  # (network_swinir.py:595 PatchEmbed)
 
     def pad_to_window(self, x_nhwc):
         """Reflect-pad H,W to window multiples (check_image_size:908);
@@ -316,6 +318,11 @@ class SwinIR(nn.Module):
         feat = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_first')(y)
         body = feat
+        if self.patch_norm:
+            # patch-embed LayerNorm (network_swinir.py:595); the long
+            # residual below uses the PRE-norm conv_first output.
+            body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                name='patch_norm')(body)
         uniform = (len(set(self.depths)) == 1
                    and len(set(self.num_heads)) == 1)
         if self.scan_stages and uniform and len(self.depths) > 1:

@@ -38,6 +38,9 @@ def save_checkpoint(exp_dir: str, state: TrainState):
     if state.ema_params is not None:
         _CKPT.save(os.path.join(md, f'{step}_E'), state.ema_params,
                    force=True)
+    if state.model_state:
+        _CKPT.save(os.path.join(md, f'{step}_S'), state.model_state,
+                   force=True)
 
 
 def find_last_checkpoint(exp_dir: str) -> int:
@@ -75,6 +78,10 @@ def load_checkpoint(exp_dir: str, state: TrainState,
     if state.ema_params is not None and os.path.isdir(e_path):
         new = new.replace(ema_params=_CKPT.restore(
             e_path, item=state.ema_params))
+    s_path = os.path.join(md, f'{step}_S')
+    if state.model_state and os.path.isdir(s_path):
+        new = new.replace(model_state=_CKPT.restore(
+            s_path, item=state.model_state))
     return new, step
 
 
@@ -84,7 +91,7 @@ def gc_checkpoints(exp_dir: str, keep_step: int):
     if not os.path.isdir(md):
         return
     for d in os.listdir(md):
-        m = re.match(r'^(\d+)_(G|optimizerG|E)$', d)
+        m = re.match(r'^(\d+)_(G|optimizerG|E|S)$', d)
         if m and int(m.group(1)) != keep_step:
             shutil.rmtree(os.path.join(md, d), ignore_errors=True)
 

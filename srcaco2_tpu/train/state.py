@@ -19,16 +19,19 @@ class TrainState:
     ema_params: Optional[Any] = None        # netE when E_decay > 0
     elb_t: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.ones((), jnp.float32))
+    model_state: Optional[Any] = None       # e.g. {'batch_stats': ...}
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation,
-               e_decay: float = 0.0, elb_init_t: float = 1.0):
+               e_decay: float = 0.0, elb_init_t: float = 1.0,
+               model_state: Optional[Any] = None):
         return cls(step=jnp.zeros((), jnp.int32),
                    params=params,
                    opt_state=tx.init(params),
                    ema_params=jax.tree.map(jnp.copy, params)
                    if e_decay > 0 else None,
-                   elb_t=jnp.asarray(elb_init_t, jnp.float32))
+                   elb_t=jnp.asarray(elb_init_t, jnp.float32),
+                   model_state=model_state or None)
 
 
 def ema_update(ema, params, decay: float):

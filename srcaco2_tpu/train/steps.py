@@ -106,15 +106,25 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         def loss_fn(params):
             # 'lsh' stream: NLSN redraws its hash rotations per forward
             # (network_nlsn.py:147); harmless for models without it.
-            outputs = model.apply(
-                {'params': params}, x, train=True,
-                rngs={'lsh': jax.random.fold_in(skey, 0x15a)})
+            rngs = {'lsh': jax.random.fold_in(skey, 0x15a)}
+            if state.model_state:
+                # stateful models (BN running stats — MemNet): collect
+                # the updated collections; like torch, stats update
+                # even on skipped steps (the forward already ran).
+                outputs, new_ms = model.apply(
+                    {'params': params, **state.model_state}, x,
+                    train=True, rngs=rngs,
+                    mutable=list(state.model_state))
+            else:
+                outputs = model.apply(
+                    {'params': params}, x, train=True, rngs=rngs)
+                new_ms = None
             total, holder = compute_model_loss(
                 net_type, master, outputs, batch, params, epoch,
                 state.elb_t)
-            return total, (holder, outputs['out'])
+            return total, (holder, outputs['out'], new_ms)
 
-        (loss, (holder, pred)), grads = jax.value_and_grad(
+        (loss, (holder, pred, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
         # non-finite loss -> skip the update (model_plain.py:343).
@@ -137,7 +147,8 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         new_state = state.replace(step=state.step + 1,
                                   params=new_params,
                                   opt_state=new_opt,
-                                  ema_params=new_ema)
+                                  ema_params=new_ema,
+                                  model_state=new_ms)
         return new_state, holder, ok & ~corrupt
 
     if mesh is not None:
@@ -158,12 +169,14 @@ def make_eval_forward(model, net_type: str, scale: int,
     """
 
     @jax.jit
-    def fwd(params, batch):
+    def fwd(params, batch, model_state=None):
         x = net_input(net_type, batch, netG)
 
         def raw(z):
-            return model.apply({'params': params}, z,
-                               train=False)['out']
+            variables = {'params': params}
+            if model_state:
+                variables.update(model_state)
+            return model.apply(variables, z, train=False)['out']
 
         if test_mode:
             from srcaco2_tpu.train.test_modes import test_mode as tm

@@ -23,7 +23,8 @@ from srcaco2_tpu.data.dataset import SRDataset, load_dataset, SEP
 from srcaco2_tpu.losses.elb import update_t
 from srcaco2_tpu.losses.master import build_loss
 from srcaco2_tpu.models.registry import (apply_init, count_params,
-                                         define_g, init_params)
+                                         define_g, init_params,
+                                         init_variables)
 from srcaco2_tpu.config.net_defaults import safe_str_var
 from srcaco2_tpu.train import checkpoint as CKPT
 from srcaco2_tpu.train.evaluator import (fast_eval, log_perf,
@@ -112,7 +113,7 @@ class Experiment:
             else self.pipe_cfg.l_size
         sample = jnp.zeros((1, args['n_channels'], in_hw, in_hw),
                            jnp.float32)
-        params = init_params(self.model, key, sample)
+        params, model_state = init_variables(self.model, key, sample)
         snt = safe_str_var(nt)
         scheme = args['netG'].get(f'{snt}_init_type',
                                   constants.INIT_W_DEFAULT)
@@ -134,7 +135,8 @@ class Experiment:
         self.e_decay = e_decay
         self.state = TrainState.create(
             params, self.tx, e_decay,
-            elb_init_t=float(args.get('elb_init_t', 1.0)))
+            elb_init_t=float(args.get('elb_init_t', 1.0)),
+            model_state=model_state or None)
 
         self.ppiw_table = None
         if args.get('ppiw', False):
@@ -164,9 +166,13 @@ class Experiment:
             a2['amp'] = False
             eval_model = define_g(a2)
         self.eval_model = eval_model
-        self.forward = make_eval_forward(
+        _fwd_raw = make_eval_forward(
             eval_model, nt, int(args['scale']), netG=args['netG'],
             test_mode=int(args.get('test_mode', 0) or 0))
+        # bind the live model_state (BN running stats) — stateless
+        # models pass None and the jit signature is unchanged.
+        self.forward = lambda p, b: _fwd_raw(p, b,
+                                             self.state.model_state)
         if self.mesh is not None and \
                 int(args['eval_bsize']) % \
                 self.mesh.shape[constants.DATA_AXIS] == 0:

@@ -135,11 +135,73 @@ class _StubFinder(importlib.abc.MetaPathFinder):
             name, _StubLoader(), is_package=True)
 
 
+def _install_timm_shim():
+    """The reference transformer files use a handful of REAL helpers
+    from timm (to_2tuple, trunc_normal_, DropPath); a magic stub would
+    silently break their math, so provide working implementations."""
+    if 'timm.models.layers' in sys.modules and not isinstance(
+            sys.modules['timm.models.layers'], _StubModule):
+        return
+    import itertools
+    import collections.abc
+    import torch
+    from torch import nn
+
+    def to_2tuple(x):
+        if isinstance(x, collections.abc.Iterable) and \
+                not isinstance(x, str):
+            return tuple(x)
+        return tuple(itertools.repeat(x, 2))
+
+    def to_ntuple(n):
+        def f(x):
+            if isinstance(x, collections.abc.Iterable) and \
+                    not isinstance(x, str):
+                return tuple(x)
+            return tuple(itertools.repeat(x, n))
+        return f
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = float(drop_prob or 0.0)
+            self.scale_by_keep = scale_by_keep
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            if self.scale_by_keep:
+                mask.div_(keep)
+            return x * mask
+
+    trunc_normal_ = torch.nn.init.trunc_normal_
+
+    timm = types.ModuleType('timm')
+    timm.__path__ = []
+    models = types.ModuleType('timm.models')
+    models.__path__ = []
+    layers = types.ModuleType('timm.models.layers')
+    layers.__path__ = []
+    layers.to_2tuple = to_2tuple
+    layers.to_ntuple = to_ntuple
+    layers.DropPath = DropPath
+    layers.trunc_normal_ = trunc_normal_
+    timm.models = models
+    models.layers = layers
+    sys.modules['timm'] = timm
+    sys.modules['timm.models'] = models
+    sys.modules['timm.models.layers'] = layers
+
+
 def install():
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    _install_timm_shim()
 
 
 def ref_models(module_name: str):

@@ -9,13 +9,12 @@ import jax.numpy as jnp
 def _run(model, shape=(1, 1, 8, 8), rngs=None):
     x = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, shape).astype(np.float32))
-    params = model.init(jax.random.key(0), x, train=False)['params']
-    var = {'params': params}
+    var = model.init(jax.random.key(0), x, train=False)
     out = model.apply(var, x, train=False,
                       rngs=rngs) if rngs else model.apply(var, x,
                                                           train=False)
     assert np.all(np.isfinite(np.asarray(out['out'])))
-    return out, params
+    return out, var['params']
 
 
 def test_srcnn():

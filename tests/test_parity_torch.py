@@ -1,0 +1,153 @@
+"""Differential parity tests against the REFERENCE torch models.
+
+For each network, the reference torch module (imported from
+/root/reference via tests/ref_import — never copied) is built from the
+same netG config, its state_dict is ported into the flax params
+(diagnosis/torch_port), and the forward outputs are compared on the
+same random input. This is the only test class that catches silent
+architecture drift (it already caught: DRRN's in-place-ReLU residual
+shortcut, MemNet's unshared BN residual blocks, SwinIR's patch-embed
+LayerNorm, and square-Linear weights ported untransposed).
+
+Stochastic models (NLSN's per-forward LSH rotations, ENLCN's random
+kernel feature projections — torch.randn in their forward/init) cannot
+match bit-for-bit; they get statistical/structural checks instead.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.ref_import import install
+
+torch = pytest.importorskip('torch')
+
+from srcaco2_tpu import constants
+from srcaco2_tpu.config.defaults import get_config
+from srcaco2_tpu.models.registry import define_g
+from srcaco2_tpu.diagnosis.torch_port import (port_state_dict,
+                                              port_swinir,
+                                              torch_named_params)
+
+MEAN_SHIFT_SKIP = {f'{m}.{p}': 'skip' for m in ('sub_mean', 'add_mean')
+                   for p in ('weight', 'bias')}
+
+
+def build_ref(args):
+    """Construct the reference torch net from MY config dict via the
+    reference's own define_G (same netG key surface, upper-case keys)."""
+    install()
+    from types import SimpleNamespace
+    from dlib.models.select_network import define_G
+    from dlib.utils import constants as ref_C
+    from dlib.utils.shared import safe_str_var as ssv
+    from srcaco2_tpu import constants as my_C
+    nt = args['netG']['net_type']
+    attr = next(a for a in dir(my_C) if a.isupper()
+                and getattr(my_C, a, None) == nt)
+    ref_nt = getattr(ref_C, attr)
+    netG = dict(args['netG'])
+    netG['net_type'] = ref_nt
+    lo, up = nt.lower(), ssv(ref_nt)
+    for k, v in list(netG.items()):
+        if k.startswith(lo + '_'):
+            netG[up + k[len(lo):]] = v
+    return define_G(SimpleNamespace(netG=netG, is_train=False))
+
+
+def both_outputs(net_type, shrink=None, in_hw=16, overrides=None,
+                 porter=None, seed=0, lsh_seed=1):
+    args = get_config(net_type)
+    args['n_channels'] = 1
+    args['netG'][f'{net_type.lower()}_in_chans'] = 1
+    if shrink:
+        args['netG'].update(shrink)
+    torch.manual_seed(seed)
+    tnet = build_ref(args).eval()
+    fnet = define_g(args)
+    x = np.random.default_rng(seed).normal(
+        0.45, 0.15, (2, 1, in_hw, in_hw)).astype(np.float32).clip(0, 1)
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x))
+    if isinstance(tout, (list, tuple)):
+        tout = tout[-1]
+    tout = tout.numpy()
+    variables = fnet.init(jax.random.key(0), jnp.asarray(x),
+                          train=False)
+    rest = {k: v for k, v in variables.items() if k != 'params'}
+    tp = torch_named_params(tnet)
+    if porter is not None:
+        ported = porter(tp, variables['params'])
+    else:
+        ported = port_state_dict(tp, variables['params'],
+                                 overrides=overrides)
+    fout = fnet.apply({'params': ported, **rest}, jnp.asarray(x),
+                      train=False,
+                      rngs={'lsh': jax.random.key(lsh_seed)})['out']
+    return np.asarray(fout), tout
+
+
+def assert_close(fout, tout, rtol):
+    scale = max(np.abs(tout).max(), 1e-3)
+    np.testing.assert_allclose(fout, tout, atol=rtol * scale, rtol=0)
+
+
+def test_srcnn():
+    assert_close(*both_outputs(constants.SRCNN), rtol=1e-5)
+
+
+def test_vdsr():
+    assert_close(*both_outputs(constants.VDSR), rtol=1e-5)
+
+
+def test_drrn():
+    # 25 shared-weight recursions amplify f32 rounding
+    assert_close(*both_outputs(constants.DRRN), rtol=3e-5)
+
+
+def test_memnet():
+    assert_close(*both_outputs(
+        constants.MEMNET,
+        shrink={'memnet_num_memory_blocks': 2,
+                'memnet_num_residual_blocks': 2}, in_hw=12), rtol=3e-5)
+
+
+def test_swinir_fused():
+    """Flagship: fused-block production layout (stage scan + stacked
+    block params), name-based port."""
+    assert_close(*both_outputs(
+        constants.SWINIR,
+        shrink={'swinir_embed_dim': 32, 'swinir_depths': [2, 2],
+                'swinir_num_heads': [2, 2], 'swinir_window_size': 4,
+                'swinir_use_fused_blocks': True},
+        porter=port_swinir), rtol=1e-5)
+
+
+def test_dfcan():
+    # tanh-GELU vs erf-GELU bounds the gap (PARITY.md)
+    assert_close(*both_outputs(constants.DFCAN), rtol=3e-4)
+
+
+def test_nlsn_stochastic_envelope():
+    """NLSN draws LSH rotations per forward (network_nlsn.py:153);
+    outputs can't match bit-for-bit, but the rotations only reshuffle
+    hash buckets — outputs agree to ~0.1% (this envelope caught a real
+    res_scale-on-the-wrong-operand bug that produced 50% divergence)."""
+    fout, tout = both_outputs(constants.NLSN,
+                              overrides=MEAN_SHIFT_SKIP)
+    assert fout.shape == tout.shape
+    assert np.isfinite(fout).all()
+    scale = np.abs(tout).max()
+    assert np.abs(fout - tout).max() < 0.02 * scale + 1e-3
+
+
+def test_enlcn_stochastic_envelope():
+    """ENLCN builds random kernel-feature projections
+    (network_enlcn.py:73,102)."""
+    fout, tout = both_outputs(constants.ENLCN,
+                              overrides=MEAN_SHIFT_SKIP)
+    assert fout.shape == tout.shape
+    assert np.isfinite(fout).all()
+    scale = np.abs(tout).max()
+    assert np.abs(fout - tout).max() < 0.05 * scale + 1e-2
