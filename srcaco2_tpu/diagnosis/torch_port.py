@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 
-def _fits(t_shape: tuple, f_shape: tuple) -> Optional[Callable]:
+def _fits(t_shape: tuple, f_shape: tuple,
+          kind: str = '') -> Optional[Callable]:
     """Returns the torch->flax relayout fn, or None if incompatible.
 
     2-D transposition takes priority over shape equality: a SQUARE
@@ -37,6 +38,15 @@ def _fits(t_shape: tuple, f_shape: tuple) -> Optional[Callable]:
     here silently ported square proj/mlp weights untransposed (caught
     by the SwinIR differential test). Square non-layer 2-D tables are
     the rare converse; use `overrides` for those."""
+    convT = lambda a: a[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+    if kind == 'ConvTranspose2d' and len(t_shape) == 4:
+        # torch convT weight is (I, O, kh, kw) and computes the conv
+        # GRADIENT (kernel flipped relative to flax's fractionally-
+        # strided conv): flip spatial dims on port (verified
+        # empirically in tests/test_parity_torch.py). Kind is needed
+        # because square channel counts are shape-ambiguous with Conv2d.
+        i, o, kh, kw = t_shape
+        return convT if f_shape == (kh, kw, i, o) else None
     if len(t_shape) == 2 and f_shape == t_shape[::-1]:   # Linear
         return lambda a: a.T
     if t_shape == f_shape:
@@ -46,7 +56,9 @@ def _fits(t_shape: tuple, f_shape: tuple) -> Optional[Callable]:
         if f_shape == (kh, kw, i, o):                    # Conv2d
             return lambda a: a.transpose(2, 3, 1, 0)
         if f_shape == (kh, kw, o, i):                    # ConvTranspose
-            return lambda a: a.transpose(2, 3, 0, 1)
+            return convT
+    if t_shape == (1,) and f_shape == ():                # PReLU slope
+        return lambda a: a.reshape(())
     return None
 
 
@@ -60,19 +72,20 @@ def port_state_dict(torch_params: List[Tuple[str, np.ndarray]],
     overrides: {torch_name: 'skip'} drops a torch entry (e.g. buffers
     the flax side computes at trace time)."""
     overrides = overrides or {}
-    tp = [(n, a) for n, a in torch_params
-          if overrides.get(n) != 'skip']
+    tp = [t[:3] if len(t) > 2 else (t[0], t[1], '')
+          for t in torch_params if overrides.get(t[0]) != 'skip']
     flat = flatten_dict(flax_params)
     keys = list(flat.keys())
     if strict and len(tp) != len(keys):
-        tnames = [n for n, _ in tp]
+        tnames = [n for n, _, _ in tp]
         raise ValueError(
             f'param count mismatch: torch {len(tp)} vs flax '
             f'{len(keys)}\ntorch: {tnames}\nflax: '
             f'{["/".join(k) for k in keys]}')
     out = {}
-    for (tname, arr), fkey in zip(tp, keys):
-        relayout = _fits(tuple(arr.shape), tuple(flat[fkey].shape))
+    for (tname, arr, kind), fkey in zip(tp, keys):
+        relayout = _fits(tuple(arr.shape), tuple(flat[fkey].shape),
+                         kind)
         if relayout is None:
             raise ValueError(
                 f'shape mismatch {tname} {tuple(arr.shape)} -> '
@@ -82,9 +95,16 @@ def port_state_dict(torch_params: List[Tuple[str, np.ndarray]],
     return unflatten_dict(out)
 
 
-def torch_named_params(module) -> List[Tuple[str, np.ndarray]]:
-    """Ordered [(name, numpy array)] of a torch module's parameters."""
-    return [(n, p.detach().cpu().numpy())
+def torch_named_params(module) -> List[Tuple[str, np.ndarray, str]]:
+    """Ordered [(name, numpy array, owner-module class name)] of a
+    torch module's parameters; the kind disambiguates shape-ambiguous
+    relayouts (square ConvTranspose2d vs Conv2d)."""
+    kinds = {}
+    for mname, m in module.named_modules():
+        for pname, _ in m.named_parameters(recurse=False):
+            full = f'{mname}.{pname}' if mname else pname
+            kinds[full] = type(m).__name__
+    return [(n, p.detach().cpu().numpy(), kinds.get(n, ''))
             for n, p in module.named_parameters()]
 
 
@@ -112,7 +132,7 @@ def port_swinir(torch_params: List[Tuple[str, np.ndarray]],
     layers.{s}.residual_group.blocks.{b}.<leaf>, norm, conv_after_body,
     conv_before_upsample.0, upsample.{2i}, conv_last."""
     import re
-    tp = {n: np.asarray(a) for n, a in torch_params}
+    tp = {t[0]: np.asarray(t[1]) for t in torch_params}
     flat = flatten_dict(flax_params)
     out = {}
 

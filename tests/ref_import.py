@@ -196,12 +196,21 @@ def _install_timm_shim():
     sys.modules['timm.models.layers'] = layers
 
 
+def _install_cpu_shim():
+    """Some reference forwards hardcode .cuda() (network_srfbn.py:546);
+    map it to a no-op in this CPU-only test environment."""
+    import torch
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+
 def install():
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _install_timm_shim()
+    _install_cpu_shim()
 
 
 def ref_models(module_name: str):

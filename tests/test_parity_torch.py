@@ -142,6 +142,52 @@ def test_nlsn_stochastic_envelope():
     assert np.abs(fout - tout).max() < 0.02 * scale + 1e-3
 
 
+def test_dbpn():
+    assert_close(*both_outputs(constants.DBPN), rtol=3e-5)
+
+
+def test_mslapsr():
+    assert_close(*both_outputs(constants.MSLAPSR), rtol=1e-5)
+
+
+def _srfbn_order(name):
+    """torch named_parameters walks ModuleLists list-major
+    (upBlocks.0..G, downBlocks.0..G, ...) while execution (and the
+    flax creation order) interleaves per group
+    (network_srfbn.py:507-560)."""
+    import re
+    m = re.match(r'block\.(up|down|uptran|downtran)Blocks\.(\d+)\.',
+                 name)
+    if m:
+        kind, i = m.group(1), int(m.group(2))
+        return {'uptran': (3, i + 1, 0), 'up': (3, i, 1),
+                'downtran': (3, i + 1, 2), 'down': (3, i, 3)}[kind]
+    for j, pfx in enumerate(('conv_in', 'feat_in',
+                             'block.compress_in')):
+        if name.startswith(pfx):
+            return (j - 3,)
+    if name.startswith('block.compress_out'):
+        return (4,)
+    if name.startswith('out.'):
+        return (5,)
+    if name.startswith('conv_out'):
+        return (6,)
+    return (9,)
+
+
+def _port_srfbn(tp, fp):
+    tp = [t for t in tp if t[0] not in MEAN_SHIFT_SKIP]
+    tp = [t for _, t in sorted(enumerate(tp),
+                               key=lambda e: (_srfbn_order(e[1][0]),
+                                              e[0]))]
+    return port_state_dict(tp, fp)
+
+
+def test_srfbn():
+    assert_close(*both_outputs(constants.SRFBN, porter=_port_srfbn),
+                 rtol=1e-5)
+
+
 def test_enlcn_stochastic_envelope():
     """ENLCN builds random kernel-feature projections
     (network_enlcn.py:73,102)."""
