@@ -132,24 +132,34 @@ def otsu_threshold_device(img_u8: jax.Array, nbins: int = 256) -> jax.Array:
 
 
 def edt_device(roi: jax.Array, max_dist: int = 48) -> jax.Array:
-    """Chamfer approximation of the Euclidean distance transform on
-    device: distance = number of 3x3 erosions a pixel survives, capped
-    at max_dist. Exact EDT needs scipy (host, edt_map); this keeps the
-    EDT/EDT*ROI sampling strategies fully in-jit — the weight map
-    (edt+1) differs only for interior pixels deeper than max_dist."""
-    def body(dist_roi, _):
+    """Octagonal-chamfer approximation of the Euclidean distance
+    transform on device: distance = number of erosions a pixel
+    survives, ALTERNATING 4-neighborhood (cross) and 8-neighborhood
+    (full 3x3) structuring elements so a diagonal unit costs ~1.5 per
+    two steps (~=sqrt(2); classic octagonal metric, <=4% radial error
+    vs Euclidean) instead of the 3x3-only L-inf metric. Capped at
+    max_dist. Exact EDT stays available on host (edt_map); this keeps
+    the EDT/EDT*ROI sampling strategies fully in-jit. Behavioral
+    agreement with scipy is tested on 512^2 cell-like ROI maps
+    (tests/test_failure_surfacing.py)."""
+    def body(dist_roi, i):
         dist, r = dist_roi
-        # erode: a pixel survives if its 3x3 neighborhood is all ROI.
         rp = jnp.pad(r, 1, mode='constant')
-        eroded = r
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                eroded = jnp.minimum(
-                    eroded, jax.lax.dynamic_slice(
-                        rp, (1 + dy, 1 + dx), r.shape))
+
+        def sl(dy, dx):
+            return jax.lax.dynamic_slice(rp, (1 + dy, 1 + dx), r.shape)
+
+        cross = r
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            cross = jnp.minimum(cross, sl(dy, dx))
+        full = cross
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            full = jnp.minimum(full, sl(dy, dx))
+        eroded = jnp.where(i % 2 == 0, cross, full)
         return (dist + eroded, eroded), None
 
-    (dist, _), _ = jax.lax.scan(body, (roi, roi), None, length=max_dist)
+    (dist, _), _ = jax.lax.scan(body, (roi, roi),
+                                jnp.arange(max_dist))
     return dist
 
 

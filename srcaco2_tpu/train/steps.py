@@ -141,8 +141,13 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
             new_ema = ema_update(state.ema_params, new_params, e_decay)
 
         # corruption flag (tools.check_corruption analog): non-finite or
-        # negative-free checks run on device, host asserts on the flag.
+        # negative-free checks run on device; the trainer reads it one
+        # step behind (async) and HARD-STOPS like the reference
+        # (model_plain.py:343-345 exits every step on corruption).
         corrupt = ~all_finite(new_params) | ~jnp.all(jnp.isfinite(pred))
+        holder = dict(holder)
+        holder['_skipped'] = (~ok).astype(jnp.float32)
+        holder['_corrupt'] = corrupt.astype(jnp.float32)
 
         new_state = state.replace(step=state.step + 1,
                                   params=new_params,

@@ -138,6 +138,27 @@ class Experiment:
             elb_init_t=float(args.get('elb_init_t', 1.0)),
             model_state=model_state or None)
 
+        # EDT-cap sanity (silent-degradation guard): the device EDT is
+        # a chamfer approximation capped at 48 (data/sampling.edt_device);
+        # check the staged data's true interior depth once on host and
+        # warn when the cap binds (PARITY.md 'known deviations').
+        if self.pipe_cfg.sample_tr_patch in (constants.SAMPLE_EDT,
+                                             constants.SAMPLE_EDTXROI):
+            from srcaco2_tpu.data.sampling import edt_map, roi_mask
+            import numpy as _np
+            hr0 = _np.asarray(self.train_ds.hr[0])[..., 0] \
+                if self.train_ds.hr[0].ndim == 3 \
+                else _np.asarray(self.train_ds.hr[0])
+            depth = float(edt_map(roi_mask(
+                hr0, self.pipe_cfg.th_style,
+                self.pipe_cfg.th_fix)).max())
+            if depth > 48:
+                DLLogger.log(
+                    f'[warn] EDT sampling: true interior depth '
+                    f'{depth:.0f}px exceeds the device chamfer cap '
+                    f'(48); deepest-interior pixels share the max '
+                    f'weight (sampling slightly flattened there)')
+
         self.ppiw_table = None
         if args.get('ppiw', False):
             self.ppiw_table = jnp.asarray(P.per_color_weights(
@@ -193,6 +214,13 @@ class Experiment:
                     0.0, 255.0)
 
             self.forward = shard_eval_forward(_fwd, self.mesh)
+        elif self.mesh is not None:
+            DLLogger.log(
+                f"[warn] eval_bsize {args['eval_bsize']} not divisible "
+                f"by the data axis "
+                f"{self.mesh.shape[constants.DATA_AXIS]}: full-image "
+                f"eval falls back to a REPLICATED single-device "
+                f"forward (no eval sharding)")
         self.interp_forward = make_interpolate_forward(
             int(self.pipe_cfg.scale),
             args.get('basic_interpolation', constants.INTER_BICUBIC))
@@ -353,6 +381,7 @@ class Experiment:
             f'training {self.net_type}: {n_train} samples, '
             f'{spe} steps/epoch, {max_epochs} epochs'))
 
+        prev_flags = None   # (step, _skipped, _corrupt) device scalars
         while step < total_steps:
             epoch = step // spe
             # per-epoch permutation (DistributedSampler analog)
@@ -365,6 +394,24 @@ class Experiment:
             state, holder, ok = self.train_step(state, hr_dev, lr_dev,
                                                 idxs, key)
             step += 1
+
+            # per-step failure surfacing, one step behind so the host
+            # read never stalls the in-flight step: a skipped update is
+            # logged the step after it happens; param/pred corruption
+            # hard-stops the run (reference check_corruption exits
+            # every step — dlib/utils/tools.py:55, model_plain.py:343).
+            if prev_flags is not None:
+                pstep, pskip, pcorrupt = prev_flags
+                if float(pskip):
+                    DLLogger.log(f'[warn] step {pstep}: non-finite '
+                                 f'loss/grads — update skipped')
+                if float(pcorrupt):
+                    raise RuntimeError(
+                        f'step {pstep}: corrupted parameters or '
+                        f'predictions (non-finite) — stopping '
+                        f'(reference check_corruption semantics)')
+            prev_flags = (step - 1, holder['_skipped'],
+                          holder['_corrupt'])
 
             # periodic weight regularizers (model_plain.py:365-387).
             orthstep = int(args['train'].get('G_regularizer_orthstep',
@@ -383,13 +430,11 @@ class Experiment:
                     params=regularizer_clip(state.params))
 
             for name, v in holder.items():
-                epoch_losses.setdefault(name, []).append(v)
+                if not name.startswith('_'):
+                    epoch_losses.setdefault(name, []).append(v)
 
             if step % n_check_eval == 0:
                 self.state = state
-                if not bool(ok):
-                    DLLogger.log(f'[warn] step {step}: non-finite loss '
-                                 f'detected, update was skipped')
                 self._validate(step)
             if step % n_check_save == 0 and args.get('is_master', True):
                 self.state = state
@@ -436,6 +481,17 @@ class Experiment:
                         sync_exp_to_durable(self.exp_dir,
                                             args['scratch_root'])
                 last_epoch = new_epoch
+
+        # drain the pending one-step-behind failure check
+        if prev_flags is not None:
+            pstep, pskip, pcorrupt = prev_flags
+            if float(pskip):
+                DLLogger.log(f'[warn] step {pstep}: non-finite '
+                             f'loss/grads — update skipped')
+            if float(pcorrupt):
+                raise RuntimeError(
+                    f'step {pstep}: corrupted parameters or '
+                    f'predictions (non-finite) — stopping')
 
         # final: save, validate, test, plots ---------------------------
         self.state = state
