@@ -151,22 +151,64 @@ def main():
     mfu = (train_flops * steps / dt / peak / max(1, n_chips)
            if peak else 0.0)
 
+    detail = {
+        'batch': batch, 'steps': steps, 'secs': round(dt, 3),
+        'chips': n_chips,
+        'device': str(jax.devices()[0]),
+        'dtype': 'float32' if ns.f32 else 'bfloat16',
+        'quick': bool(ns.quick),
+        'fused': fused,
+        'mfu_est': round(mfu, 4),
+        'train_tflops_per_step': round(train_flops / 1e12, 3),
+        'loss': final_loss,
+    }
+
+    # secondary benches (VERDICT r1 #9): full-image eval throughput
+    # (the eval_all-relevant number) and a second architecture.
+    if not ns.quick:
+        try:
+            from srcaco2_tpu.train.steps import make_eval_forward
+            eb = 4
+            xe = {'l_im': jnp.asarray(
+                rng.normal(0.4, 0.2, (eb, 1, 64, 64)).clip(0, 1),
+                jnp.float32)}
+            efwd = make_eval_forward(model, constants.SWINIR, scale)
+            r = efwd(state.params, xe)
+            float(jnp.sum(r))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = efwd(state.params, xe)
+            float(jnp.sum(r))
+            ev = 5 * eb / (time.perf_counter() - t0)
+            detail['eval_512_images_per_sec'] = round(ev, 2)
+        except Exception as e:                      # pragma: no cover
+            detail['eval_512_images_per_sec'] = f'ERR {type(e).__name__}'
+        try:
+            from srcaco2_tpu.models.dfcan import DFCAN
+            m2 = DFCAN(in_chans=1, upscale=scale,
+                       dtype=jnp.float32 if ns.f32 else jnp.bfloat16)
+            p2 = m2.init(jax.random.key(0), x0, train=False)['params']
+            st2 = TrainState.create(p2, tx)
+            sf2 = make_train_step(m2, master, tx, constants.DFCAN,
+                                  pipe_cfg, steps_per_epoch=1000)
+            st2, h2, _ = sf2(st2, hr, lr, sample_idxs(0), key)
+            float(h2['total'])
+            t0 = time.perf_counter()
+            for i in range(1, 11):
+                st2, h2, _ = sf2(st2, hr, lr, sample_idxs(i), key)
+            float(h2['total'])
+            detail['dfcan_x8_train_patches_per_sec'] = round(
+                batch * 10 / (time.perf_counter() - t0), 2)
+        except Exception as e:                      # pragma: no cover
+            detail['dfcan_x8_train_patches_per_sec'] = \
+                f'ERR {type(e).__name__}'
+
     out = {
         'metric': 'swinir_x8_train_patches_per_sec_per_chip',
         'value': round(pps, 2),
         'unit': 'patches/sec/chip',
         'vs_baseline': round(pps / target, 4),
-        'detail': {
-            'batch': batch, 'steps': steps, 'secs': round(dt, 3),
-            'chips': n_chips,
-            'device': str(jax.devices()[0]),
-            'dtype': 'float32' if ns.f32 else 'bfloat16',
-            'quick': bool(ns.quick),
-            'fused': fused,
-            'mfu_est': round(mfu, 4),
-            'train_tflops_per_step': round(train_flops / 1e12, 3),
-            'loss': final_loss,
-        },
+        'detail': detail,
     }
     print(json.dumps(out))
 
