@@ -110,17 +110,10 @@ def comparison_figure(exp_paths: List[str], out_path: str,
         e = np.asarray(fwd(params, batch))[0, 0]
         panels.append(e)
         titles.append(args['netG']['net_type'])
-    panels.append(hr_img)
-    titles.append('HR')
-
-    fig, axes = plt.subplots(1, len(panels),
-                             figsize=(3 * len(panels), 3.2))
-    for ax, img, t in zip(np.atleast_1d(axes), panels, titles):
-        ax.imshow(img, cmap='magma', vmin=0, vmax=255)
-        ax.set_title(t, fontsize=9)
-        ax.axis('off')
-    fig.tight_layout()
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    fig.savefig(out_path, dpi=120)
-    plt.close(fig)
-    return out_path
+    # per-panel PSNR/SSIM captions + optional method GIF
+    # (reference inference_super_res.py:138-334 builds the same
+    # side-by-side figures and per-method gifs across the exp tree).
+    from srcaco2_tpu.diagnosis.visualize import restore_grid
+    gif = os.path.splitext(out_path)[0] + '.gif'
+    return restore_grid(panels, titles, hr_img, out_path,
+                        gif_path=gif)

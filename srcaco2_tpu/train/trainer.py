@@ -508,6 +508,16 @@ class Experiment:
             if args.get('eval_over_roi_also', False):
                 T.plot_tracker(self.roi_tracker, self.exp_dir,
                                prefix='roi_tracker')
+            # reference-style multi-panel dashboards (one grid per
+            # split: rows=datasets, cols=metrics, roi overlay + best
+            # markers — utils_tracker.py:344-530)
+            for _split in (constants.VALIDSET, constants.TESTSET):
+                T.plot_tracker_dashboard(
+                    self.tracker, self.roi_tracker, _split,
+                    os.path.join(self.exp_dir,
+                                 f'dashboard_{_split}.png'),
+                    roi_select=bool(args.get(
+                        'eval_over_roi_also_model_select', False)))
             total_t = time.perf_counter() - t_start
             with open(os.path.join(self.exp_dir, 'passed.txt'), 'w') as f:
                 f.write(f'done in {total_t:.1f}s\n')

@@ -140,3 +140,58 @@ def plot_tracker(tracker: dict, outdir: str, prefix: str = 'tracker'):
                 os.path.join(outdir, f'{prefix}_{split}_{safe_ds}.png'),
                 dpi=100)
             plt.close(fig)
+
+
+def plot_tracker_dashboard(tracker: dict, roi_tracker: dict,
+                           split: str, out_path: str,
+                           roi_select: bool = False):
+    """Reference-style eval dashboard (utils_tracker.py:344-530): ONE
+    figure, rows = datasets, cols = metrics; the full-image and ROI
+    curves overlaid (the model-selection curve solid, the other
+    dashed/faded), best iteration marked per panel."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    if split not in tracker or not tracker[split]:
+        return None
+    dsets = list(tracker[split].keys())
+    metrics = list(tracker[split][dsets[0]].keys())
+    if not dsets or not metrics:
+        return None
+    fig, axes = plt.subplots(len(dsets), len(metrics),
+                             figsize=(2.8 * len(metrics),
+                                      2.2 * len(dsets)),
+                             squeeze=False)
+    a_full, a_roi = (0.4, 1.0) if roi_select else (1.0, 0.4)
+    ls_full, ls_roi = ('dashed', 'solid') if roi_select \
+        else ('solid', 'dashed')
+    for i, ds in enumerate(dsets):
+        for j, m in enumerate(metrics):
+            ax = axes[i, j]
+            rec = tracker[split][ds].get(m)
+            if rec and rec['vals']:
+                ax.plot(rec['steps'], rec['vals'], color='C0',
+                        alpha=a_full, ls=ls_full, label='full')
+                if rec['idx_best'] >= 0:
+                    ax.plot(rec['steps'][rec['idx_best']],
+                            rec['vals'][rec['idx_best']], 'r*', ms=8)
+            rrec = (roi_tracker or {}).get(split, {}).get(ds, {}) \
+                .get(m)
+            if rrec and rrec['vals']:
+                ax.plot(rrec['steps'], rrec['vals'], color='C1',
+                        alpha=a_roi, ls=ls_roi, label='roi')
+            if i == 0:
+                ax.set_title(m, fontsize=8)
+            if j == 0:
+                ax.set_ylabel(ds[:28], fontsize=6)
+            ax.grid(alpha=.3)
+            ax.tick_params(labelsize=6)
+    axes[0, 0].legend(fontsize=6)
+    fig.suptitle(f'{split} dashboard', fontsize=10)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)),
+                exist_ok=True)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
