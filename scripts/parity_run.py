@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Parity harness end-to-end run (VERDICT r1 #4): generate a
+real-shaped dataset with the FULL raw->dataset builder, train the
+CPU-PR1-class config (VDSR x2) to convergence, and record bicubic +
+trained numbers through the standard eval machinery into
+diagnosis/PARITY_RUN.yaml (committed).
+
+The real SR-CACO-2 images are not available in this environment, so
+the absolute numbers are not comparable to the published tables; what
+this run demonstrates is the full pipeline producing a trained model
+that beats the bicubic floor through the same metric stack that the
+bicubic parity checks (diagnosis/parity.py) use.
+
+Usage: python scripts/parity_run.py [--root DIR] [--epochs N]
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def make_raw_sessions(root, n_tiles=8, hr=512):
+    from srcaco2_tpu.data import build_scripts as B
+    rng = np.random.default_rng(0)
+    dirs = {sc: os.path.join(root, 'raw', f'res{sc}')
+            for sc in (1, 2, 4, 8)}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    yy, xx = np.mgrid[:hr, :hr]
+    for t in range(1, n_tiles + 1):
+        tile = np.zeros((3, hr, hr), np.uint8)
+        for c in range(3):
+            img = np.zeros((hr, hr), np.float32)
+            for _ in range(120):
+                cy, cx = rng.integers(16, hr - 16, 2)
+                r = rng.integers(5, 26)
+                img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = \
+                    rng.integers(50, 230)
+            # smooth texture inside cells
+            img += rng.normal(0, 6, (hr, hr))
+            tile[c] = np.clip(img, 0, 255).astype(np.uint8)
+        for sc, d in dirs.items():
+            if sc == 1:
+                img = tile
+            else:
+                dy, dx = int(rng.integers(-2, 3)), int(rng.integers(-2, 3))
+                sh = np.roll(np.roll(tile, dy, 1), dx, 2)
+                # real-LR noise
+                lo = sh[:, ::sc, ::sc].astype(np.float32)
+                lo = np.clip(lo + rng.normal(0, 3, lo.shape), 0, 255)
+                img = lo.astype(np.uint8)
+            B._imsave_chw(img, os.path.join(d, f'exp_Tile{t}_acq.tif'))
+    return [B.SessionSpec(res_dirs=dirs)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', default=os.path.join(REPO, '.parity_data'))
+    ap.add_argument('--epochs', type=int, default=2000)
+    ap.add_argument('--net', default='VDSR')
+    ns = ap.parse_args()
+
+    from srcaco2_tpu.data import build_scripts as B
+    from srcaco2_tpu import constants
+
+    root = ns.root
+    if not os.path.isdir(os.path.join(root, 'caco2')):
+        print('# building dataset from raw tiles (full pipeline)...')
+        sessions = make_raw_sessions(root)
+        counts = B.build_caco2_from_raw(
+            sessions, root, hr_size=512, psize=128, del_border=8,
+            min_area=0.1, threshold=4.0, n_test_tiles=2,
+            n_valid_tiles=1)
+        print('# built:', {k: v for k, v in counts.items()
+                           if k.startswith('_') or 'CELL0' in k})
+
+    train_ds = constants.caco2_name(constants.TRAINSET, 2,
+                                    constants.CELL0)
+    valid_ds = constants.caco2_name(constants.VALIDSET, 2,
+                                    constants.CELL0)
+    test_ds = constants.caco2_name(constants.TESTSET, 2,
+                                   constants.CELL0)
+    cmd = [sys.executable, os.path.join(REPO, 'main.py'),
+           '--net_type', ns.net, '--scale', '2', '--l2', 'True',
+           '--data_root', root, '--splits_root', root,
+           '--train_dsets', train_ds, '--valid_dsets', valid_ds,
+           '--test_dsets', test_ds,
+           '--max_epochs', str(ns.epochs), '--batch_size', '32',
+           '--h_size', '64', '--eval_bsize', '8',
+           '--checkpoint_eval', '1000', '--checkpoint_save', '2000',
+           '--plot_epoch_freq', '0']
+    print('#', ' '.join(cmd))
+    env = dict(os.environ)
+    r = subprocess.run(cmd, cwd=root, env=env)
+    assert r.returncode == 0, r.returncode
+
+    # collect: bicubic floor + trained numbers via the parity-harness
+    # eval path, write the committed yaml.
+    from srcaco2_tpu.diagnosis.parity import eval_bicubic
+    import glob
+    import yaml
+
+    bi = eval_bicubic(root, root, 2, constants.CELL0)
+    # trained test numbers from the experiment's summary yaml
+    summaries = [f for f in glob.glob(os.path.join(
+        root, 'exps', '**', '*summary*.yaml'), recursive=True)
+        if 'test' in os.path.basename(f)] or glob.glob(os.path.join(
+            root, 'exps', '**', '*summary*.yaml'), recursive=True)
+    trained = {}
+    for sf in summaries:
+        with open(sf) as f:
+            trained[os.path.basename(sf)] = yaml.safe_load(f)
+
+    def scalars(d):
+        return {k: (float(v) if isinstance(v, (int, float, np.floating))
+                    else v) for k, v in d.items()} \
+            if isinstance(d, dict) else d
+
+    out = {
+        'note': ('End-to-end parity-harness run on a BUILDER-generated '
+                 'synthetic dataset (real SR-CACO-2 images unavailable '
+                 'in this environment); demonstrates the full '
+                 'train->eval->metric stack and the trained-vs-bicubic '
+                 'gap through the same code path the published-number '
+                 'checks use (diagnosis/parity.py).'),
+        'config': {'net': ns.net, 'scale': 2, 'cell': 'CELL0',
+                   'epochs': ns.epochs, 'h_size': 64, 'batch': 32,
+                   'loss': 'l2'},
+        'bicubic_test': {'full': scalars(bi.get('full', {})),
+                         'roi': scalars(bi.get('roi', {}))},
+        'trained_test': {k: scalars(v) for k, v in trained.items()},
+    }
+    out_path = os.path.join(REPO, 'srcaco2_tpu', 'diagnosis',
+                            'PARITY_RUN.yaml')
+    with open(out_path, 'w') as f:
+        yaml.safe_dump(out, f, sort_keys=False)
+    print(f'# wrote {out_path}')
+    print(yaml.safe_dump(out['bicubic_test']))
+
+
+if __name__ == '__main__':
+    main()

@@ -74,10 +74,23 @@ class SRDataset:
         return self.lr.shape[1]
 
     def stage(self, sharding=None):
-        """Push packed arrays to device (replicated by default)."""
+        """Push packed arrays to device (replicated by default).
+
+        Multi-host: with a sharding over a multi-process mesh, GLOBAL
+        arrays are formed with jax.make_array_from_process_local_data
+        (every process loads the full split, so a replicated sharding
+        is satisfied by identical local copies) — a plain device_put of
+        host-local arrays would not produce a global array
+        (utils_parallel.py:36-66 analog; tested by the 2-process CPU
+        run in tests/test_multihost.py)."""
         if sharding is None:
             self.hr_dev = jnp.asarray(self.hr)
             self.lr_dev = jnp.asarray(self.lr)
+        elif jax.process_count() > 1:
+            self.hr_dev = jax.make_array_from_process_local_data(
+                sharding, self.hr)
+            self.lr_dev = jax.make_array_from_process_local_data(
+                sharding, self.lr)
         else:
             self.hr_dev = jax.device_put(self.hr, sharding)
             self.lr_dev = jax.device_put(self.lr, sharding)

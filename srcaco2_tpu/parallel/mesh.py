@@ -12,10 +12,13 @@ under jit (psum analog), replacing sync_tensor_across_gpus /
 sync_dict_across_gpus (utils_parallel.py:13-66).
 
 Multi-host: jax.distributed.initialize() is called by the config
-bootstrap (config/parser._setup_process); each host stages its own copy
-of the packed dataset, and `epoch_indices` is keyed identically on every
-host so the global permutation is consistent (host h takes shards by
-device order).
+bootstrap (config/parser._setup_process). Every process loads the full
+split and SRDataset.stage builds GLOBAL (replicated) arrays with
+jax.make_array_from_process_local_data; `epoch_indices` is keyed
+identically on every process so the sharded batch indices are globally
+consistent, and fast_eval shards eval batches by process_index and
+all-gathers the per-sample metrics. Exercised end-to-end by a real
+2-process CPU jax.distributed run (tests/test_multihost.py).
 """
 from typing import Optional
 

@@ -78,7 +78,13 @@ def fast_eval(forward: Callable, params, ds: SRDataset, args,
     roi_details = {}
 
     n_plotted = 0
-    for start in range(0, n, eval_bsize):
+    # multi-host: processes take interleaved batches and the
+    # per-sample results are all-gathered afterwards; single-process
+    # runs take every batch (utils_parallel sync_* analog).
+    pidx, pcount = jax.process_index(), jax.process_count()
+    starts = list(range(0, n, eval_bsize))[pidx::pcount] \
+        if pcount > 1 else range(0, n, eval_bsize)
+    for start in starts:
         idx = np.arange(start, min(start + eval_bsize, n))
         pad = eval_bsize - len(idx)
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) \
@@ -127,6 +133,24 @@ def fast_eval(forward: Callable, params, ds: SRDataset, args,
                     path = os.path.join(save_img_dir, f'{img_id}.png')
                 imsave(e_np[j].transpose(1, 2, 0), path)
                 n_plotted += 1
+
+    if pcount > 1:
+        # gather the disjoint per-sample results across processes via
+        # a dense (n, metrics) matrix (zeros off-process) + allgather.
+        from jax.experimental import multihost_utils as MH
+        scopes = [('full', details)] + ([('roi', roi_details)]
+                                        if over_roi else [])
+        for scope, det in scopes:
+            mat = np.zeros((n, len(EVAL_METRICS)), np.float64)
+            for gi, img_id in enumerate(ds.ids):
+                if img_id in det:
+                    mat[gi] = [det[img_id][m] for m in EVAL_METRICS]
+            gathered = np.asarray(MH.process_allgather(mat)).sum(0)
+            for gi, img_id in enumerate(ds.ids):
+                det[img_id] = {m: float(gathered[gi, k])
+                               for k, m in enumerate(EVAL_METRICS)}
+            sums[scope] = {m: float(gathered[:, k].sum())
+                           for k, m in enumerate(EVAL_METRICS)}
 
     out = {'full': {m: sums['full'][m] / n for m in EVAL_METRICS},
            'details': details, 'n': n,

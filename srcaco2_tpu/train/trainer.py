@@ -173,6 +173,14 @@ class Experiment:
             assert bs % dsize == 0, \
                 f'batch_size {bs} not divisible by data axis {dsize}'
             DLLogger.log(f'mesh: {dict(self.mesh.shape)}')
+            # multi-host: re-stage the packed splits as GLOBAL
+            # replicated arrays over the full mesh (dataset.stage uses
+            # make_array_from_process_local_data across processes).
+            from srcaco2_tpu.parallel.mesh import replicated
+            rep = replicated(self.mesh)
+            self.train_ds.stage(rep)
+            for _ds in self.valid_sets + getattr(self, 'test_sets', []):
+                _ds.stage(rep)
         self.train_step = make_train_step(
             self.model, self.master, self.tx, nt, self.pipe_cfg,
             e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
