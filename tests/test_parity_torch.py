@@ -188,6 +188,54 @@ def test_srfbn():
                  rtol=1e-5)
 
 
+def _port_omnisr(tp, fp):
+    """OmniSR registration order differs from execution order at three
+    levels: the top module registers residual_layer before the input
+    conv (network_omni_sr.py:551-556), the attention submodules
+    register rel_pos_bias/temperature out of call order, and ESA
+    registers conv_f second while it is consumed fourth
+    (network_omni_sr.py:96-100)."""
+    import re
+    TOP = {'input': 0, 'residual_layer': 1, 'output': 2, 'up': 3}
+    LEAF = {'norm.weight': 0, 'norm.bias': 1,
+            'fn.to_qkv.weight': 2, 'fn.rel_pos_bias.weight': 3,
+            'fn.to_out.0.weight': 4,
+            'fn.qkv.weight': 2, 'fn.qkv_dwconv.weight': 3,
+            'fn.temperature': 4, 'fn.project_out.weight': 5}
+    ESA = {'conv1': 0, 'conv2': 1, 'conv3': 2, 'conv_f': 3, 'conv4': 4}
+    mod_first, mod_leaves, parsed = {}, {}, []
+    for i, t in enumerate(tp):
+        name = t[0]
+        m = re.match(r'(.*layer\.\d+)\.(.*)$', name)
+        mod, leaf = (m.group(1), m.group(2)) if m else (name, '')
+        mod_first.setdefault(mod, i)
+        mod_leaves.setdefault(mod, set()).add(leaf)
+        parsed.append((name, mod, leaf, i))
+    keys = []
+    for name, mod, leaf, i in parsed:
+        attn = ('fn.temperature' in mod_leaves[mod]
+                or 'fn.rel_pos_bias.weight' in mod_leaves[mod])
+        rank = LEAF.get(leaf, 100) if attn else 100
+        em = re.match(r'.*\.esa\.(conv\w*)\.', name)
+        if em:
+            rank = ESA.get(em.group(1), 100)
+        keys.append((TOP.get(name.split('.')[0], 9), mod_first[mod],
+                     rank, i))
+    tp = [t for _, t in sorted(zip(keys, tp), key=lambda e: e[0])]
+    return port_state_dict(tp, fp)
+
+
+def test_omnisr_envelope():
+    """FAILING-BY-DESIGN MARKER (PARITY.md): the ported OmniSR forward
+    agrees to ~2% but is not yet exact — a small structural difference
+    in the OSA block remains under investigation; this envelope test
+    pins the current agreement so regressions surface."""
+    fout, tout = both_outputs(constants.OMNISR, porter=_port_omnisr)
+    scale = np.abs(tout).max()
+    assert np.abs(fout - tout).max() < 0.05 * scale, \
+        np.abs(fout - tout).max() / scale
+
+
 def test_enlcn_stochastic_envelope():
     """ENLCN builds random kernel-feature projections
     (network_enlcn.py:73,102)."""
