@@ -61,7 +61,8 @@ def make_raw_sessions(root, n_tiles=8, hr=512):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--root', default=os.path.join(REPO, '.parity_data'))
-    ap.add_argument('--epochs', type=int, default=2000)
+    ap.add_argument('--epochs', type=int, default=10000)
+    ap.add_argument('--lr', type=float, default=4e-4)
     ap.add_argument('--net', default='VDSR')
     ns = ap.parse_args()
 
@@ -92,8 +93,8 @@ def main():
            '--test_dsets', test_ds,
            '--max_epochs', str(ns.epochs), '--batch_size', '32',
            '--h_size', '64', '--eval_bsize', '8',
-           '--checkpoint_eval', '1000', '--checkpoint_save', '2000',
-           '--plot_epoch_freq', '0']
+           '--checkpoint_eval', '4000', '--checkpoint_save', '8000',
+           '--G_optimizer_lr', str(ns.lr), '--plot_epoch_freq', '0']
     print('#', ' '.join(cmd))
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=root, env=env)
@@ -107,12 +108,22 @@ def main():
 
     bi = eval_bicubic(root, root, 2, constants.CELL0)
     # trained test numbers from the experiment's summary yaml
-    summaries = [f for f in glob.glob(os.path.join(
-        root, 'exps', '**', '*summary*.yaml'), recursive=True)
-        if 'test' in os.path.basename(f)] or glob.glob(os.path.join(
-            root, 'exps', '**', '*summary*.yaml'), recursive=True)
     trained = {}
-    for sf in summaries:
+    # test numbers: average the per-image test details written by
+    # evaluate_test (best-models/details_test_<ds>.yml)
+    for df in glob.glob(os.path.join(root, 'exps', '**',
+                                     'details_test_*.yml'),
+                        recursive=True):
+        with open(df) as f:
+            det = yaml.safe_load(f)
+        if isinstance(det, dict) and det:
+            vals = [v for v in det.values() if isinstance(v, dict)]
+            if vals:
+                trained[os.path.basename(df)] = {
+                    m: float(np.mean([v[m] for v in vals]))
+                    for m in vals[0]}
+    for sf in glob.glob(os.path.join(root, 'exps', '**',
+                                     '*summary*.yaml'), recursive=True):
         with open(sf) as f:
             trained[os.path.basename(sf)] = yaml.safe_load(f)
 

@@ -18,6 +18,23 @@ from srcaco2_tpu.models.blocks import (Conv, nchw_to_nhwc, nhwc_to_nchw,
                                        pixel_shuffle)
 from srcaco2_tpu.ops.resize import resize2d
 
+
+class RConv(nn.Module):
+    """3x3 conv with REFLECTION padding — the reference's custom
+    Conv2d pads reflectively by default (network_prosr.py:41-86);
+    verified by differential test (zero padding shifts outputs by
+    >0.2 at the borders)."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode='reflect')
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       padding='VALID', dtype=self.dtype)(x)
+
 Dtype = Any
 
 
@@ -33,7 +50,7 @@ class DenseBlock(nn.Module):
             y = Conv(self.bn_size * self.growth_rate, 1,
                      dtype=self.dtype)(x)
             y = nn.relu(y)
-            y = Conv(self.growth_rate, 3, dtype=self.dtype)(y)
+            y = RConv(self.growth_rate, 3, dtype=self.dtype)(y)
             x = jnp.concatenate([x, y], axis=-1)
         return x
 
@@ -65,6 +82,10 @@ class ProSR(nn.Module):
     level_config: Dict[int, List[List[int]]] = None
     res_factor: float = 0.2
     block_compression: float = 0.4
+    ps_woReLU: bool = False     # reference default: the pyramid
+                                # upsampler appends a ReLU after the
+                                # pixel shuffle (network_prosr.py:100,
+                                # utils_init_default_args.py:136)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -77,8 +98,8 @@ class ProSR(nn.Module):
 
         y = nchw_to_nhwc(x)
         nf = self.num_init_features
-        feats = Conv(nf, 3, dtype=self.dtype,
-                     name=f'init_conv_{n_pyramids}')(y)
+        feats = RConv(nf, 3, dtype=self.dtype,
+                      name=f'init_conv_{n_pyramids}')(y)
         outs = []
         num_features = nf
         for s in range(n_pyramids):
@@ -93,14 +114,16 @@ class ProSR(nn.Module):
                     num_layers, num_features, self.growth_rate,
                     self.bn_size, self.res_factor, dtype=self.dtype,
                     name=f'p{s}_drb{b}')(z)
-            z = Conv(num_features, 3, dtype=self.dtype,
-                     name=f'p{s}_final_conv')(z)
+            z = RConv(num_features, 3, dtype=self.dtype,
+                      name=f'p{s}_final_conv')(z)
             feats = z + level_in                       # pyramid residual
-            feats = Conv(4 * num_features, 3, dtype=self.dtype,
-                         name=f'p{s}_up')(feats)
+            feats = RConv(4 * num_features, 3, dtype=self.dtype,
+                          name=f'p{s}_up')(feats)
             feats = pixel_shuffle(feats, 2)
-            rec = Conv(self.in_chans, 3, dtype=self.dtype,
-                       name=f'reconst_{s + 1}')(feats)
+            if not self.ps_woReLU:
+                feats = nn.relu(feats)
+            rec = RConv(self.in_chans, 3, dtype=self.dtype,
+                        name=f'reconst_{s + 1}')(feats)
             up = 2 ** (s + 1)
             ident = jnp.clip(resize2d(x, (x.shape[-2] * up,
                                           x.shape[-1] * up)), 0.0, 1.0)

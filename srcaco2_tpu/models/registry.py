@@ -124,6 +124,8 @@ def define_g(args: dict) -> nn.Module:
                      level_config=_p(netG, nt, 'level_config'),
                      res_factor=_p(netG, nt, 'res_factor'),
                      block_compression=_p(netG, nt, 'block_compression'),
+                     ps_woReLU=bool(netG.get(
+                         f'{safe_str_var(nt)}_ps_woReLU', False)),
                      dtype=dtype)
     if nt == constants.ACT:
         from srcaco2_tpu.models.act import ACT

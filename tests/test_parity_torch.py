@@ -188,6 +188,14 @@ def test_srfbn():
                  rtol=1e-5)
 
 
+def test_prosr():
+    """Exact after two differential-test-found fixes: the pyramid
+    upsampler's post-pixel-shuffle ReLU (ps_woReLU=False default) and
+    REFLECTION padding on every 3x3 conv (the reference's custom
+    Conv2d, network_prosr.py:41-86)."""
+    assert_close(*both_outputs(constants.PROSR), rtol=1e-5)
+
+
 def _port_omnisr(tp, fp):
     """OmniSR registration order differs from execution order at three
     levels: the top module registers residual_layer before the input
