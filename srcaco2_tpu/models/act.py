@@ -202,9 +202,12 @@ class ACT(nn.Module):
             f = jnp.concatenate([y, tkn_img], axis=-1)
             fb = f
             for j in range(4):
-                r = nn.relu(Conv(2 * nf, 1, dtype=self.dtype,
+                # FB 1x1 convs are BIAS-FREE (network_act.py:305)
+                r = nn.relu(Conv(2 * nf, 1, use_bias=False,
+                                 dtype=self.dtype,
                                  name=f'fb{i}_{j}a')(fb))
-                fb = fb + Conv(2 * nf, 1, dtype=self.dtype,
+                fb = fb + Conv(2 * nf, 1, use_bias=False,
+                               dtype=self.dtype,
                                name=f'fb{i}_{j}b')(r)
             f = f + fb
 

@@ -188,6 +188,48 @@ def test_srfbn():
                  rtol=1e-5)
 
 
+def _act_key(name):
+    """torch ACT registers branch ModuleLists list-major
+    (network_act.py:431-456) while execution interleaves per fusion
+    stage (forward :495-529)."""
+    import re
+    if name.startswith('head'):
+        return (0, 0, 0)
+    if name.startswith('linear_encoding'):
+        return (1, 0, 0)
+    for pat, sub in ((r'mhsa_block\.(\d+)\.', 0),
+                     (r'cnn_branch\.(\d+)\.', 10),
+                     (r'fusion_block\.(\d+)\.', 11),
+                     (r'fusion_mlp\.(\d+)\.', 12),
+                     (r'fusion_cnn\.(\d+)\.', 13)):
+        m = re.match(pat, name)
+        if m:
+            return (2, int(m.group(1)), sub)
+    m = re.match(r'csta_block\.(\d+)\.(\d+)\.', name)
+    if m:
+        return (2, int(m.group(1)), 1 + int(m.group(2)))
+    if name.startswith('conv_last'):
+        return (3, 0, 0)
+    return (4, 0, 0)
+
+
+def _port_act(tp, fp):
+    # cnn_branch registers a trailing conv the forward never calls
+    # (network_act.py:427 vs :513) — dead weights, skipped.
+    tp = [t for t in tp if not t[0].startswith('cnn_branch.4.')
+          and t[0] not in MEAN_SHIFT_SKIP]
+    tp = [t for _, t in sorted(enumerate(tp),
+                               key=lambda e: (_act_key(e[1][0]), e[0]))]
+    return port_state_dict(tp, fp)
+
+
+def test_act():
+    """Weight-ported ACT matches within the tanh-vs-erf GELU bound
+    (caught + fixed: FB 1x1 convs must be bias-free)."""
+    assert_close(*both_outputs(constants.ACT, in_hw=24,
+                               porter=_port_act), rtol=5e-4)
+
+
 def test_prosr():
     """Exact after two differential-test-found fixes: the pyramid
     upsampler's post-pixel-shuffle ReLU (ps_woReLU=False default) and
