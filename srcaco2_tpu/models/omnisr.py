@@ -185,12 +185,20 @@ class ChannelAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         d = c // self.heads
 
+        nw = (h // ps) * (w // ps)
+
         def to_tokens(t):
-            # -> (b, groups, heads, d, tokens)
-            tw = _window_split(t, ps, self.grid)   # (b*nW, ps*ps, c)
-            ng = tw.shape[0] // b
-            tw = tw.reshape(b, ng, ps * ps, self.heads, d)
-            return tw.transpose(0, 1, 3, 4, 2)
+            # -> (b, groups, heads, d, tokens). Both variants use the
+            # BLOCK partition; the grid variant swaps the group/token
+            # roles: groups = within-window offsets (ph, pw), tokens =
+            # window indices (network_omni_sr.py:408 '(h w)' tokens vs
+            # :359 '(ph pw)' tokens) — NOT the dilated spatial-grid
+            # partition (a real drift the differential test caught).
+            tw = _window_split(t, ps, False)       # (b*nW, ps*ps, c)
+            tw = tw.reshape(b, nw, ps * ps, self.heads, d)
+            if self.grid:
+                return tw.transpose(0, 2, 3, 4, 1)  # groups = offsets
+            return tw.transpose(0, 1, 3, 4, 2)      # groups = windows
 
         qt, kt, vt = map(to_tokens, (q, k, v))
         qt = qt / jnp.sqrt(jnp.sum(qt * qt, axis=-1, keepdims=True)
@@ -203,8 +211,12 @@ class ChannelAttention(nn.Module):
             * temp.astype(qt.dtype)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum('bghde,bghet->bghdt', attn, vt)
-        out = out.transpose(0, 1, 4, 2, 3).reshape(-1, ps * ps, c)
-        out = _window_merge(out, ps, h, w, self.grid)
+        if self.grid:
+            # (b, ps*ps, heads, d, nW) -> (b*nW, ps*ps, c)
+            out = out.transpose(0, 4, 1, 2, 3).reshape(-1, ps * ps, c)
+        else:
+            out = out.transpose(0, 1, 4, 2, 3).reshape(-1, ps * ps, c)
+        out = _window_merge(out, ps, h, w, False)
         out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype)(out)
         return out + x
 

@@ -275,15 +275,13 @@ def _port_omnisr(tp, fp):
     return port_state_dict(tp, fp)
 
 
-def test_omnisr_envelope():
-    """FAILING-BY-DESIGN MARKER (PARITY.md): the ported OmniSR forward
-    agrees to ~2% but is not yet exact — a small structural difference
-    in the OSA block remains under investigation; this envelope test
-    pins the current agreement so regressions surface."""
-    fout, tout = both_outputs(constants.OMNISR, porter=_port_omnisr)
-    scale = np.abs(tout).max()
-    assert np.abs(fout - tout).max() < 0.05 * scale, \
-        np.abs(fout - tout).max() / scale
+def test_omnisr():
+    """Exact after fixing the grid channel attention partition: the
+    reference groups by WITHIN-WINDOW OFFSET with window indices as
+    tokens (network_omni_sr.py:408), not the dilated spatial-grid
+    partition."""
+    assert_close(*both_outputs(constants.OMNISR, porter=_port_omnisr),
+                 rtol=3e-4)
 
 
 def test_enlcn_stochastic_envelope():
