@@ -204,3 +204,111 @@ def port_swinir(torch_params: List[Tuple[str, np.ndarray]],
     if tp:
         raise ValueError(f'unconsumed torch params: {sorted(tp)}')
     return unflatten_dict(out)
+
+
+_GRL_PLAIN = {
+    'conv_first/Conv_0': 'conv_first',
+    'norm_start': 'norm_start',
+    'norm_end': 'norm_end',
+    'conv_after_body/Conv_0': 'conv_after_body',
+    'conv_before_up/Conv_0': 'conv_before_upsample.0',
+    'Upsampler_0/Conv_0/Conv_0': 'upsample.up.0',
+    'conv_last/Conv_0': 'conv_last',
+}
+_GRL_BLOCK = {
+    'CAB_0/Conv_0/Conv_0': 'conv.cab.0',
+    'CAB_0/Conv_1/Conv_0': 'conv.cab.2',
+    'CAB_0/Conv_2/Conv_0': 'conv.cab.3.attention.1',
+    'CAB_0/Conv_3/Conv_0': 'conv.cab.3.attention.3',
+    'LayerNorm_0': 'norm1',
+    'LayerNorm_1': 'norm2',
+    'Dense_0': 'mlp.fc1',
+    'Dense_1': 'mlp.fc2',
+    'MixedAttention_0/qkv': 'attn.qkv.body',
+    'MixedAttention_0/anchor_proj': 'attn.anchor.body.0.reduction',
+    'MixedAttention_0/proj': 'attn.proj',
+    'MixedAttention_0/affine_w/cpb1':
+        'attn.window_attn.attn_transform.cpb_mlp.0',
+    'MixedAttention_0/affine_w/cpb2':
+        'attn.window_attn.attn_transform.cpb_mlp.2',
+    'MixedAttention_0/affine_w/logit_scale':
+        'attn.window_attn.attn_transform.logit_scale',
+    'MixedAttention_0/affine_s1/cpb1':
+        'attn.stripe_attn.attn_transform1.cpb_mlp.0',
+    'MixedAttention_0/affine_s1/cpb2':
+        'attn.stripe_attn.attn_transform1.cpb_mlp.2',
+    'MixedAttention_0/affine_s1/logit_scale':
+        'attn.stripe_attn.attn_transform1.logit_scale',
+    'MixedAttention_0/affine_s2/cpb1':
+        'attn.stripe_attn.attn_transform2.cpb_mlp.0',
+    'MixedAttention_0/affine_s2/cpb2':
+        'attn.stripe_attn.attn_transform2.cpb_mlp.2',
+    'MixedAttention_0/affine_s2/logit_scale':
+        'attn.stripe_attn.attn_transform2.logit_scale',
+}
+_WB = {'kernel': 'weight', 'scale': 'weight', 'bias': 'bias',
+       'logit_scale': ''}
+
+
+def port_grl(torch_params: List[Tuple[str, np.ndarray]],
+             flax_params: Dict) -> Dict:
+    """Name-based port of a reference GRL state_dict onto this
+    framework's GRL (blocks scanned as (no-shift, shift) pairs with a
+    leading pair dim: torch layers.{s}.blocks.{b} maps to
+    s{s}_blocks/GRLBlock_{b%2} at stack index b//2). Reference names:
+    network_grl.py:1203 (GRL), :1008 (block), :1094 (stage convs)."""
+    import re
+    tp = {t[0]: np.asarray(t[1]) for t in torch_params}
+    flat = flatten_dict(flax_params)
+    out = {}
+
+    def relayout(arr, want):
+        fn = _fits(tuple(arr.shape), tuple(want))
+        if fn is None:
+            raise ValueError((arr.shape, want))
+        return fn(arr)
+
+    for key in flat.keys():
+        ks = '/'.join(key)
+        leaf = key[-1]
+        m = re.match(r's(\d+)_blocks/GRLBlock_(\d+)/(.*)$', ks)
+        if m:
+            s_i, member, rest = int(m.group(1)), int(m.group(2)), \
+                m.group(3)
+            if rest.endswith('/logit_scale') or rest == \
+                    'MixedAttention_0/affine_w/logit_scale' or \
+                    leaf == 'logit_scale':
+                mod, suffix = rest, ''
+            else:
+                mod, suffix = rest.rsplit('/', 1), None
+                mod, suffix = mod[0], '.' + _WB[leaf]
+            tleaf = _GRL_BLOCK[mod] + (suffix or '')
+            n_pairs = flat[key].shape[0]
+            arrs = []
+            for p_i in range(n_pairs):
+                b = p_i * 2 + member
+                tname = f'layers.{s_i}.blocks.{b}.{tleaf}'
+                arrs.append(relayout(tp.pop(tname),
+                                     flat[key].shape[1:]))
+            out[key] = jnp.asarray(np.stack(arrs), flat[key].dtype)
+            continue
+        m = re.match(r's(\d+)_conv/Conv_0/(kernel|bias)$', ks)
+        if m:
+            tname = f'layers.{m.group(1)}.conv.' + _WB[m.group(2)]
+            out[key] = jnp.asarray(relayout(tp.pop(tname),
+                                            flat[key].shape),
+                                   flat[key].dtype)
+            continue
+        mod = ks.rsplit('/', 1)[0]
+        if mod in _GRL_PLAIN or key[0] in _GRL_PLAIN:
+            base = _GRL_PLAIN.get(mod, _GRL_PLAIN.get(key[0]))
+            tname = f'{base}.{_WB[leaf]}'
+            out[key] = jnp.asarray(relayout(tp.pop(tname),
+                                            flat[key].shape),
+                                   flat[key].dtype)
+            continue
+        raise KeyError(f'unmapped flax param {ks}')
+    if tp:
+        raise ValueError(f'unconsumed torch params: {sorted(tp)[:8]} '
+                         f'(+{max(0, len(tp) - 8)} more)')
+    return unflatten_dict(out)

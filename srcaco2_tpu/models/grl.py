@@ -282,7 +282,7 @@ class GRLBlock(nn.Module):
                               self.window_shift, self.stripe_size,
                               self.stripe_type, self.df,
                               dtype=self.dtype)(x)
-        attn = nn.LayerNorm(dtype=self.dtype)(attn)   # POST-norm (SwinV2)
+        attn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(attn)   # POST-norm (SwinV2)
         if self.local_connection:
             x = x + attn + CAB(self.dim, dtype=self.dtype)(x)
         else:
@@ -290,7 +290,7 @@ class GRLBlock(nn.Module):
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(x)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         return x + y
 
 
@@ -350,12 +350,17 @@ class GRL(nn.Module):
         ph = (pad_unit - h0 % pad_unit) % pad_unit
         pw = (pad_unit - w0 % pad_unit) % pad_unit
         if ph or pw:
-            y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                        mode='reflect')
+            # constant-zero padding (check_image_size pads with
+            # 'constant', network_grl.py:1447 — NOT reflect)
+            y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
 
         feat = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_first')(y)
         body = feat
+        # token LayerNorm before the stages (norm_start,
+        # network_grl.py:1258,1456) — found by differential test
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name='norm_start')(body)
         for si, (d, nhw, nhs) in enumerate(zip(self.depths,
                                                self.num_heads_window,
                                                self.num_heads_stripe)):
@@ -387,7 +392,8 @@ class GRL(nn.Module):
             body = Conv(self.embed_dim, 3, dtype=self.dtype,
                         name=f's{si}_conv')(body)
             body = body + stage_in
-        body = nn.LayerNorm(dtype=self.dtype, name='norm_end')(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name='norm_end')(body)
         body = Conv(self.embed_dim, 3, dtype=self.dtype,
                     name='conv_after_body')(body)
         feat = feat + body

@@ -204,6 +204,54 @@ def _install_cpu_shim():
         torch.Tensor.cuda = lambda self, *a, **k: self
 
 
+def _install_omegaconf_shim():
+    """GRL builds its internal flag container with
+    OmegaConf.create({...}) (network_grl.py:13); a magic stub silently
+    mangles booleans (local_connection etc.), so provide a working
+    attribute-dict implementation."""
+    if 'omegaconf' in sys.modules and not isinstance(
+            sys.modules['omegaconf'], _StubModule):
+        return
+
+    class _Node(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    class OmegaConf:
+        @staticmethod
+        def create(obj=None):
+            if obj is None:
+                return _Node()
+            return _Node({k: (OmegaConf.create(v)
+                              if isinstance(v, dict) else v)
+                          for k, v in dict(obj).items()})
+
+    mod = types.ModuleType('omegaconf')
+    mod.OmegaConf = OmegaConf
+    mod.DictConfig = _Node
+    sys.modules['omegaconf'] = mod
+
+
+def _install_fairscale_shim():
+    """fairscale.nn.checkpoint_wrapper is an identity at eval."""
+    if 'fairscale.nn' in sys.modules and not isinstance(
+            sys.modules['fairscale.nn'], _StubModule):
+        return
+    fairscale = types.ModuleType('fairscale')
+    fairscale.__path__ = []
+    nn_mod = types.ModuleType('fairscale.nn')
+    nn_mod.checkpoint_wrapper = lambda m, *a, **k: m
+    fairscale.nn = nn_mod
+    sys.modules['fairscale'] = fairscale
+    sys.modules['fairscale.nn'] = nn_mod
+
+
 def install():
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
@@ -211,6 +259,8 @@ def install():
         sys.path.insert(0, REFERENCE_ROOT)
     _install_timm_shim()
     _install_cpu_shim()
+    _install_omegaconf_shim()
+    _install_fairscale_shim()
 
 
 def ref_models(module_name: str):

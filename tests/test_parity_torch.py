@@ -26,7 +26,8 @@ torch = pytest.importorskip('torch')
 from srcaco2_tpu import constants
 from srcaco2_tpu.config.defaults import get_config
 from srcaco2_tpu.models.registry import define_g
-from srcaco2_tpu.diagnosis.torch_port import (port_state_dict,
+from srcaco2_tpu.diagnosis.torch_port import (port_grl,
+                                              port_state_dict,
                                               port_swinir,
                                               torch_named_params)
 
@@ -122,6 +123,16 @@ def test_swinir_fused():
                 'swinir_num_heads': [2, 2], 'swinir_window_size': 4,
                 'swinir_use_fused_blocks': True},
         porter=port_swinir), rtol=1e-5)
+
+
+def test_grl():
+    """Weight-ported GRL (mixed window/anchor-stripe attention, CPB
+    MLPs, pair-scanned blocks) matches the reference. Found + fixed:
+    missing norm_start token LayerNorm after conv_first
+    (network_grl.py:1258,1456) and constant-zero (not reflect)
+    image-size padding."""
+    assert_close(*both_outputs(constants.GRL, porter=port_grl),
+                 rtol=3e-4)
 
 
 def test_dfcan():
