@@ -84,30 +84,32 @@ def full_attn_mask_and_index(h: int, w: int, ws: int, shift: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _take_table_op(h: int, w: int, ws: int, shift: int):
-    """Gather table rows by the (T,T) relative-position index, with a
-    custom VJP: XLA's native gather-transpose is a scatter-add, which
-    measures at ~0.5ms per block on v5e (17ms/step for the flagship's
-    36 blocks). The cotangent is instead computed as a one-hot matmul
-    dtable = onehot(rel) @ dbias — an MXU op, ~100x faster."""
-    _, rel = full_attn_mask_and_index(h, w, ws, shift)
-    rel_flat = rel.reshape(-1)
-    nb = (2 * ws - 1) ** 2
-
-    @jax.custom_vjp
-    def take(table):                       # (nb, nh) -> (T*T, nh)
-        return table[rel_flat]
-
-    def fwd(table):
-        return table[rel_flat], None
-
-    def bwd(_, g):                         # g: (T*T, nh)
-        oh = (jnp.asarray(rel_flat)[None, :]
-              == jnp.arange(nb)[:, None]).astype(g.dtype)
-        return (oh @ g,)
-
-    take.defvjp(fwd, bwd)
-    return take
+def _bias_factors(h: int, w: int, ws: int, shift: int):
+    """Constants for the exact matmul factorization of the relative-
+    position-bias build. bias[h,i,j] = table[rel[i,j], h] with
+    rel[i,j] = (wy_i-wy_j+ws-1)*(2ws-1) + (wx_i-wx_j+ws-1), where
+    (wy, wx) are in-window coords after the cyclic shift. rel depends
+    on a token only through its ws^2 possible (wy, wx) values, so the
+    65k-row gather (and the 59MB onehot scatter-substitute its VJP
+    needed per block) collapses into two small constant matmuls:
+        M4   = OH @ table                 # (ws^4, nh)
+        bias = P @ M4(ac,bd) @ P^T        # exact: one nonzero per row
+    P (T, ws^2) onehot of each token's (wy, wx); OH (ws^4, (2ws-1)^2).
+    0/1 f32 constants -> forward bitwise-equal to the gather, and
+    plain autodiff gives the transposed (equally tiny) matmuls."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    ys, xs = ys.reshape(-1), xs.reshape(-1)
+    wy = ((ys - shift) % h) % ws
+    wx = ((xs - shift) % w) % ws
+    n2 = ws * ws
+    p = np.zeros((h * w, n2), np.float32)
+    p[np.arange(h * w), wy * ws + wx] = 1.0
+    a, c, b, d = np.meshgrid(*([np.arange(ws)] * 4), indexing='ij')
+    rel = ((a - b + ws - 1) * (2 * ws - 1)
+           + (c - d + ws - 1)).reshape(-1)     # order m = ac*n2 + bd
+    oh = np.zeros((n2 * n2, (2 * ws - 1) ** 2), np.float32)
+    oh[np.arange(n2 * n2), rel] = 1.0
+    return p, oh
 
 
 def build_attn_bias(tables: jax.Array, h: int, w: int, ws: int,
@@ -115,15 +117,20 @@ def build_attn_bias(tables: jax.Array, h: int, w: int, ws: int,
     """tables: (d, (2ws-1)^2, nh) learned bias tables for d blocks.
     Returns (d, nh, T, T) combined additive bias (learned rel-pos bias
     + window/shift mask), block i shifted iff i odd (SwinIR order).
-    Differentiable in `tables` (matmul-backward gather, no scatter)."""
+    Built via the _bias_factors matmul factorization — no gathers, no
+    scatter-add in the backward, and the (T,T,nh)->(nh,T,T) transpose
+    falls out of the einsum order for free."""
     d, _, nh = tables.shape
-    t = h * w
+    n2 = ws * ws
     outs = []
     for i in range(d):
         shift = 0 if i % 2 == 0 else ws // 2
         mask, _ = full_attn_mask_and_index(h, w, ws, shift)
-        bias = _take_table_op(h, w, ws, shift)(tables[i])
-        bias = bias.reshape(t, t, nh).transpose(2, 0, 1)
+        p, oh = _bias_factors(h, w, ws, shift)
+        pj, ohj = jnp.asarray(p), jnp.asarray(oh)
+        m4 = (ohj @ tables[i]).reshape(n2, n2, nh)     # (ac, bd, nh)
+        arow = jnp.einsum('ia,abh->ibh', pj, m4)       # (T, bd, nh)
+        bias = jnp.einsum('ibh,jb->hij', arow, pj)     # (nh, T, T)
         outs.append(bias + jnp.asarray(mask)[None])
     return jnp.stack(outs).astype(dtype)
 
@@ -158,9 +165,12 @@ def _gelu(u):
     return 0.5 * u * (1.0 + jnp.tanh(g))
 
 
-def _gelu_grad(u):
-    g = _GC * (u + _GA * u * u * u)
-    th = jnp.tanh(g)
+def _gelu_grad(u, th=None):
+    """d gelu/du; pass th = tanh(sqrt(2/pi)(u + a u^3)) when already
+    computed by the forward to save the (m, ch) tanh pass."""
+    if th is None:
+        g = _GC * (u + _GA * u * u * u)
+        th = jnp.tanh(g)
     sech2 = 1.0 - th * th
     return 0.5 * (1.0 + th) + 0.5 * u * sech2 * _GC * \
         (1.0 + 3.0 * _GA * u * u)
@@ -187,7 +197,12 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
               with_probs=False):
     """qkv: (ib*t, 3c) cdt, q columns PRE-SCALED by hd**-0.5 (folded
     into the qkv weights outside the kernel). Softmax division is
-    deferred to the (t, hd) output — one (t, t) VPU pass saved. Returns
+    deferred to the (t, hd) output — one (t, t) VPU pass saved.
+
+    The whole (t, t) score/softmax chain runs in cdt (bf16 under AMP
+    training — the (ib, t, t) VPU passes are the kernel's single
+    largest cost class) with the row-sum reduced in f32; bias_ref is
+    already cdt. bf16's exponent range covers the -1e9 mask. Returns
     O (ib*t, c) cdt and per-head residuals for the backward."""
     hd = c // heads
     o_parts, saved = [], []
@@ -196,9 +211,9 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
         k = qkv[:, c + h * hd:c + (h + 1) * hd].reshape(ib, t, hd)
         v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(
             ib, t, hd)
-        s = _dotg(q, k, _QK, cdt) + bias_ref[h][None]      # f32
+        s = _dotg(q, k, _QK, cdt).astype(cdt) + bias_ref[h][None]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m).astype(cdt)                     # (ib,t,t)
+        e = jnp.exp(s - m)                                 # (ib,t,t) cdt
         r = jnp.sum(e, axis=-1, keepdims=True,
                     dtype=jnp.float32)                     # (ib,t,1)
         rinv = 1.0 / r
@@ -218,20 +233,22 @@ def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt):
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = refs
     y, xhat1, rstd1 = _ln(x, g1[:], b1[:])
     yc = y.astype(cdt)
-    qkv = (_dot(yc, wqkv[:], cdt) + bqkv[:]).astype(cdt)
+    qkv = _dot(yc, wqkv[:], cdt).astype(cdt) + bqkv[:]
     o, saved = _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
                          with_probs=True)
     a = _dot(o, wproj[:], cdt) + bproj[:]
     x2 = x + a
     y2, xhat2, rstd2 = _ln(x2, g2[:], b2[:])
     y2c = y2.astype(cdt)
-    u = (_dot(y2c, w1[:], cdt) + bm1[:]).astype(cdt)
-    hact = _gelu(u)
+    u = _dot(y2c, w1[:], cdt).astype(cdt) + bm1[:]
+    g = _GC * (u + _GA * u * u * u)
+    th = jnp.tanh(g)
+    hact = 0.5 * u * (1.0 + th)
     o2 = _dot(hact, w2[:], cdt) + bm2[:]
     out = x2 + o2
     inter = dict(y=yc, xhat1=xhat1, rstd1=rstd1, qkv=qkv, o=o, x2=x2,
-                 y2=y2c, xhat2=xhat2, rstd2=rstd2, u=u, hact=hact,
-                 saved=saved)
+                 y2=y2c, xhat2=xhat2, rstd2=rstd2, u=u, th=th,
+                 hact=hact, saved=saved)
     return out, inter
 
 
@@ -279,7 +296,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     dw2[...] += _dotg(it['hact'], g, (((0,), (0,)), ((), ())), cdt)
     dbm2[...] += jnp.sum(g, axis=0, keepdims=True)
     dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)        # (m, ch)
-    du = dh * _gelu_grad(it['u'])
+    du = dh * _gelu_grad(it['u'], it['th'])
     dw1[...] += _dotg(it['y2'], du, (((0,), (0,)), ((), ())), cdt)
     dbm1[...] += jnp.sum(du, axis=0, keepdims=True)
     dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)      # (m, c)
@@ -295,14 +312,16 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         q, k, v, e, rinv = it['saved'][h]
-        p = (e.astype(jnp.float32) * rinv).astype(cdt)
+        p = e * rinv.astype(cdt)                          # (ib, t, t)
         doh = do[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
-        dp = _dotg(doh, v, _QK, cdt)                      # (ib, t, t)
+        # (t, t) backward chain in cdt (see _attn_fwd note); the two
+        # row-reductions accumulate f32.
+        dp = _dotg(doh, v, _QK, cdt).astype(cdt)          # (ib, t, t)
         dv = _dotg(p, doh, _PT, cdt)                      # (ib, t, hd)
         rs = jnp.sum(dp * p, axis=-1, keepdims=True,
                      dtype=jnp.float32)
-        ds = p * (dp - rs)
-        dbias[h] += jnp.sum(ds, axis=0)
+        ds = p * (dp - rs.astype(cdt))
+        dbias[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
         # q columns were pre-scaled outside; no extra scale here
         dq = _dotg(ds, k, _PV, cdt)                       # (ib, t, hd)
         dk = _dotg(ds, q, _PT, cdt)                       # (ib, t, hd)
@@ -327,8 +346,11 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
 
 def _pick_img_blk(b: int, t: int) -> int:
     """Images per grid step: keep the per-program working set well
-    under VMEM (~16MB) while giving matmuls >= 512 rows."""
-    target = max(1, 512 // t)
+    under VMEM (~16MB) while giving matmuls >= 512 rows.
+    SRCACO2_SWIN_IB overrides the row target for tuning."""
+    import os
+    rows = int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512'))
+    target = max(1, rows // t)
     ib = min(b, target)
     while b % ib:
         ib -= 1
@@ -344,6 +366,18 @@ def _w_shapes(c, ch, nh, t):
     return [(1, c), (1, c), (c, 3 * c), (1, 3 * c), (c, c), (1, c),
             (1, c), (1, c), (c, ch), (1, ch), (ch, c), (1, c),
             (nh, t, t)]
+
+
+_CDT_IDX = (2, 3, 4, 8, 9, 10, 12)   # wqkv bqkv wproj w1 bm1 w2 bias
+
+
+def _cast_wb(wb, cdt):
+    """Cast the weights consumed in cdt math ONCE at the XLA level, so
+    the kernel body doesn't re-convert VMEM-resident f32 weights in
+    every grid program (32 programs x 36 blocks of redundant casts).
+    LN params and the f32-residual biases (bproj, bm2) stay f32."""
+    return tuple(w.astype(cdt) if i in _CDT_IDX else w
+                 for i, w in enumerate(wb))
 
 
 @functools.lru_cache(maxsize=None)
@@ -367,7 +401,7 @@ def _make_block_op(heads: int, interpret: bool, cdt):
             out_specs=pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x, *wb)
+        )(x, *_cast_wb(wb, cdt))
 
     @jax.custom_vjp
     def fused_block(x, *wb):
@@ -398,7 +432,7 @@ def _make_block_op(heads: int, interpret: bool, cdt):
                                     memory_space=pltpu.VMEM)]
             + _weight_specs(w_shapes),
             interpret=interpret,
-        )(x, *wb, dout)
+        )(x, *_cast_wb(wb, cdt), dout)
         return tuple(outs)
 
     fused_block.defvjp(fwd, bwd)

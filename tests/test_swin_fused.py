@@ -102,19 +102,34 @@ def test_kernel_grads_match_autodiff_oracle(data):
                                    atol=max(3e-5 * scale, 3e-6))
 
 
-def test_table_gather_custom_vjp_matches_scatter():
-    """The matmul-backward gather (scatter-add replacement) must agree
-    with XLA's native gather gradient."""
+def test_bias_factorization_matches_gather():
+    """The matmul-factorized bias build (no gathers/scatters) must be
+    bitwise-equal to the naive table gather in the forward, and its
+    autodiff table-gradient must agree with the native scatter-add
+    gather gradient."""
     r = np.random.default_rng(3)
-    tables = jnp.asarray(r.normal(0, 1, ((2 * WS - 1) ** 2, NH)), F32)
-    _, rel = full_attn_mask_and_index(H, W, WS, WS // 2)
-    cot = jnp.asarray(r.normal(0, 1, (T * T, NH)), F32)
+    d = 2
+    tables = jnp.asarray(r.normal(0, 1, (d, (2 * WS - 1) ** 2, NH)),
+                         F32)
+    cot = jnp.asarray(r.normal(0, 1, (d, NH, T, T)), F32)
 
-    from srcaco2_tpu.ops.pallas.swin_block import _take_table_op
-    take = _take_table_op(H, W, WS, WS // 2)
-    g_custom = jax.vjp(take, tables)[1](cot)[0]
-    g_native = jax.vjp(lambda t: t[rel.reshape(-1)], tables)[1](cot)[0]
-    np.testing.assert_allclose(np.asarray(g_custom),
+    def naive(tabs):
+        outs = []
+        for i in range(d):
+            shift = 0 if i % 2 == 0 else WS // 2
+            mask, rel = full_attn_mask_and_index(H, W, WS, shift)
+            b = tabs[i][rel.reshape(-1)].reshape(T, T, NH)
+            outs.append(b.transpose(2, 0, 1) + jnp.asarray(mask)[None])
+        return jnp.stack(outs)
+
+    got = build_attn_bias(tables, H, W, WS)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(naive(tables)))
+
+    g_fact = jax.vjp(lambda t: build_attn_bias(t, H, W, WS),
+                     tables)[1](cot)[0]
+    g_native = jax.vjp(naive, tables)[1](cot)[0]
+    np.testing.assert_allclose(np.asarray(g_fact),
                                np.asarray(g_native), rtol=2e-5,
                                atol=1e-4)
 
