@@ -138,18 +138,27 @@ def main():
 
     # analytic model FLOPs/step (fwd + 2x bwd + ~1x recompute) for an
     # MFU estimate against the v5e bf16 peak (197 TFLOP/s/chip).
+    # Reported twice: EXECUTED flops (full-attention reformulation
+    # spends 4x window-attention flops on T=256 tokens) and USEFUL
+    # flops (the windowed-algorithm count — the honest utilization).
     c = model.embed_dim
     ch = int(c * model.mlp_ratio)
     t = ls * ls
     n_blocks = sum(model.depths)
-    t_attn = t if fused else model.window_size ** 2
-    per_tok = (2 * c * 3 * c + 2 * c * c + 4 * t_attn * c
-               + 2 * c * ch * 2)
-    fwd_flops = batch * t * n_blocks * per_tok
-    train_flops = 4 * fwd_flops
+    t_exec = t if fused else model.window_size ** 2
+    t_use = model.window_size ** 2
     peak = 197e12 if 'TPU' in str(jax.devices()[0]).upper() else 0
+
+    def train_flops_of(t_attn):
+        per_tok = (2 * c * 3 * c + 2 * c * c + 4 * t_attn * c
+                   + 2 * c * ch * 2)
+        return 4 * batch * t * n_blocks * per_tok
+
+    train_flops = train_flops_of(t_exec)
     mfu = (train_flops * steps / dt / peak / max(1, n_chips)
            if peak else 0.0)
+    mfu_useful = (train_flops_of(t_use) * steps / dt / peak
+                  / max(1, n_chips) if peak else 0.0)
 
     detail = {
         'batch': batch, 'steps': steps, 'secs': round(dt, 3),
@@ -159,6 +168,7 @@ def main():
         'quick': bool(ns.quick),
         'fused': fused,
         'mfu_est': round(mfu, 4),
+        'mfu_useful_est': round(mfu_useful, 4),
         'train_tflops_per_step': round(train_flops / 1e12, 3),
         'loss': final_loss,
     }

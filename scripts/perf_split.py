@@ -36,9 +36,11 @@ def main():
                       .astype(jnp.float32)))
         return (time.perf_counter() - t0) / n * 1e3
 
-    for b in (64, 128):
-        for rows in (512, 1024, 2048):
+    cfgs = [(64, 512, ''), (64, 512, '100'), (64, 1024, '100'),
+            (64, 2048, '100')]
+    for b, rows, vmem in cfgs:
             os.environ['SRCACO2_SWIN_IB_ROWS'] = str(rows)
+            os.environ['SRCACO2_SWIN_VMEM_MB'] = vmem
             # 36 blocks = 6 stacks of depth 6; use ONE depth-36 stack
             # (same kernel count, one scan)
             stack = FusedBlockStack(dim=c, depth=36, num_heads=heads,
@@ -57,12 +59,12 @@ def main():
                     return f(jnp.ones_like(y))
 
                 msb = timeit(vjpf, sp, x)
-                print(f'b={b} rows={rows}: fwd {msf:7.2f} ms  '
+                print(f'b={b} rows={rows} v={vmem or 16}: fwd {msf:7.2f} ms  '
                       f'fwd+bwd {msb:7.2f} ms  '
                       f'[{b / ((msb + 0.0) / 1e3):7.0f} pps upper]',
                       flush=True)
             except Exception as e:
-                print(f'b={b} rows={rows}: FAILED {type(e).__name__} '
+                print(f'b={b} rows={rows} v={vmem or 16}: FAILED {type(e).__name__} '
                       f'{str(e)[:200]}', flush=True)
 
 

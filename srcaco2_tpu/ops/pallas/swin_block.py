@@ -191,6 +191,28 @@ def _dotg(a, b, dims, cdt, out=jnp.float32):
 _QK = (((2,), (2,)), ((0,), (0,)))    # (b,i,d)x(b,j,d) -> (b,i,j)
 _PV = (((2,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,j,d) -> (b,i,d)
 _PT = (((1,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,i,d) -> (b,j,d)
+def _heads_batched() -> bool:
+    import os
+    return os.environ.get('SRCACO2_SWIN_HEADS_BATCHED', '1') != '0'
+
+
+def _split_heads(z, ib, t, c, heads, start):
+    """(ib*t, nc) -> (heads*ib, t, hd): per-head lane slices at column
+    offset `start`, stacked into ONE batch dim (Mosaic's tpu.matmul
+    supports a single batch dimension)."""
+    hd = c // heads
+    z4 = jnp.stack([
+        z[:, start + h * hd:start + (h + 1) * hd].reshape(ib, t, hd)
+        for h in range(heads)])
+    return z4.reshape(heads * ib, t, hd)
+
+
+def _merge_heads(z3, ib, t, c, heads):
+    """(heads*ib, t, hd) -> (ib*t, c) concatenating heads into lanes."""
+    hd = c // heads
+    z4 = z3.reshape(heads, ib, t, hd)
+    return jnp.concatenate([z4[h].reshape(ib * t, hd)
+                            for h in range(heads)], axis=-1)
 
 
 def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
@@ -205,6 +227,26 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
     already cdt. bf16's exponent range covers the -1e9 mask. Returns
     O (ib*t, c) cdt and per-head residuals for the backward."""
     hd = c // heads
+    if _heads_batched():
+        # ONE batched dot_general / softmax chain for all heads:
+        # per-op fixed overhead (Mosaic runs the kernel body op by op)
+        # dominates at these shapes, so 6x fewer (t, t) ops wins even
+        # though the math is identical to the per-head loop.
+        q = _split_heads(qkv, ib, t, c, heads, 0)     # (h*ib, t, hd)
+        k = _split_heads(qkv, ib, t, c, heads, c)
+        v = _split_heads(qkv, ib, t, c, heads, 2 * c)
+        bias_b = jnp.broadcast_to(
+            bias_ref[:][:, None], (heads, ib, t, t)).reshape(
+                heads * ib, t, t)
+        s = _dotg(q, k, _QK, cdt).astype(cdt) + bias_b
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)                            # (h*ib, t, t)
+        r = jnp.sum(e, axis=-1, keepdims=True,
+                    dtype=jnp.float32)
+        rinv = 1.0 / r
+        o4 = _dotg(e, v, _PV, cdt) * rinv             # f32
+        o = _merge_heads(o4.astype(cdt), ib, t, c, heads)
+        return o, ((q, k, v, e, rinv) if with_probs else None)
     o_parts, saved = [], []
     for h in range(heads):
         q = qkv[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
@@ -224,12 +266,15 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
     return jnp.concatenate(o_parts, axis=-1), saved
 
 
-def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt):
+def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt,
+                    need_out=True):
     """Forward math shared by the fwd kernel and the bwd recompute.
     x: (ib*t, c) f32 residual stream; large intermediates are stored in
     cdt (bf16 in training) to halve VMEM traffic — Mosaic executes each
     op as a separate VMEM pass, so byte traffic, not FLOPs, dominates
-    the elementwise cost."""
+    the elementwise cost. need_out=False (the bwd recompute) skips the
+    final mlp2 matmul + residual add, whose output the backward never
+    reads."""
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = refs
     y, xhat1, rstd1 = _ln(x, g1[:], b1[:])
     yc = y.astype(cdt)
@@ -244,8 +289,10 @@ def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt):
     g = _GC * (u + _GA * u * u * u)
     th = jnp.tanh(g)
     hact = 0.5 * u * (1.0 + th)
-    o2 = _dot(hact, w2[:], cdt) + bm2[:]
-    out = x2 + o2
+    out = None
+    if need_out:
+        o2 = _dot(hact, w2[:], cdt) + bm2[:]
+        out = x2 + o2
     inter = dict(y=yc, xhat1=xhat1, rstd1=rstd1, qkv=qkv, o=o, x2=x2,
                  y2=y2c, xhat2=xhat2, rstd2=rstd2, u=u, th=th,
                  hact=hact, saved=saved)
@@ -276,6 +323,10 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
                 bm1, w2, bm2, bias_ref, dout_ref,
                 dx_ref, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2,
                 db2, dw1, dbm1, dw2, dbm2, dbias, *, heads, cdt):
+    import os
+    # measurement-only ablations (perf_ab.py); never set in production
+    _abl = frozenset(os.environ.get('SRCACO2_SWIN_BWD_ABLATE',
+                                    '').split(','))
     ib, t, c = x_ref.shape
     hd = c // heads
     accs = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1,
@@ -289,52 +340,120 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
     refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
     _, it = _block_fwd_math(x, refs, bias_ref, ib, t, c, heads,
-                            cdt)
+                            cdt, need_out=False)
 
     g = dout_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    acc_w = 'dw' not in _abl
     # out = x2 + h @ W2 + bm2
-    dw2[...] += _dotg(it['hact'], g, (((0,), (0,)), ((), ())), cdt)
-    dbm2[...] += jnp.sum(g, axis=0, keepdims=True)
-    dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)        # (m, ch)
-    du = dh * _gelu_grad(it['u'], it['th'])
-    dw1[...] += _dotg(it['y2'], du, (((0,), (0,)), ((), ())), cdt)
-    dbm1[...] += jnp.sum(du, axis=0, keepdims=True)
-    dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)      # (m, c)
-    dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'], it['rstd2'])
-    dg2[...] += dg2v
-    db2[...] += db2v
-    dx2 = g + dx2_ln
+    if 'mlpbwd' in _abl:
+        dx2 = g
+    else:
+        if acc_w:
+            dw2[...] += _dotg(it['hact'], g, (((0,), (0,)), ((), ())),
+                              cdt)
+            dbm2[...] += jnp.sum(g, axis=0, keepdims=True)
+        dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)    # (m, ch)
+        du = dh * _gelu_grad(it['u'], it['th'])
+        if acc_w:
+            dw1[...] += _dotg(it['y2'], du, (((0,), (0,)), ((), ())),
+                              cdt)
+            dbm1[...] += jnp.sum(du, axis=0, keepdims=True)
+        dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)  # (m, c)
+        dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'],
+                                     it['rstd2'])
+        if acc_w:
+            dg2[...] += dg2v
+            db2[...] += db2v
+        dx2 = g + dx2_ln
     # x2 = x + O @ Wp + bp
-    dwproj[...] += _dotg(it['o'], dx2, (((0,), (0,)), ((), ())), cdt)
-    dbproj[...] += jnp.sum(dx2, axis=0, keepdims=True)
+    if acc_w:
+        dwproj[...] += _dotg(it['o'], dx2, (((0,), (0,)), ((), ())),
+                             cdt)
+        dbproj[...] += jnp.sum(dx2, axis=0, keepdims=True)
     do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
-    # attention backward, per head
-    dqs, dks, dvs = [], [], []
-    for h in range(heads):
-        q, k, v, e, rinv = it['saved'][h]
-        p = e * rinv.astype(cdt)                          # (ib, t, t)
-        doh = do[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
-        # (t, t) backward chain in cdt (see _attn_fwd note); the two
-        # row-reductions accumulate f32.
-        dp = _dotg(doh, v, _QK, cdt).astype(cdt)          # (ib, t, t)
-        dv = _dotg(p, doh, _PT, cdt)                      # (ib, t, hd)
+    if _heads_batched() and 'attnbwd' not in _abl:
+        # all-heads batched attention backward (see _attn_fwd note)
+        q, k, v, e, rinv = it['saved']
+        do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
+        p = e * rinv.astype(cdt)                      # (h*ib, t, t)
+        dp = _dotg(do4, v, _QK, cdt).astype(cdt)      # (h*ib, t, t)
+        dv = _dotg(p, do4, _PT, cdt)                  # (h*ib, t, hd)
         rs = jnp.sum(dp * p, axis=-1, keepdims=True,
                      dtype=jnp.float32)
         ds = p * (dp - rs.astype(cdt))
-        dbias[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
+        if acc_w:
+            dbias[...] += jnp.sum(
+                ds.reshape(heads, ib, t, t), axis=1,
+                dtype=jnp.float32)
+        dq4 = _dotg(ds, k, _PV, cdt)                  # (h*ib, t, hd)
+        dk4 = _dotg(ds, q, _PT, cdt)
+        dqkv = jnp.concatenate(
+            [_merge_heads(z.astype(cdt), ib, t, c, heads)
+             for z in (dq4, dk4, dv)], axis=-1)       # (m, 3c)
+        dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)
+        if acc_w:
+            dwqkv[...] += _dotg(it['y'], dqkv,
+                                (((0,), (0,)), ((), ())), cdt)
+            dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dx_ln, dg1v, db1v = _ln_bwd(dy, g1[:], it['xhat1'],
+                                    it['rstd1'])
+        if acc_w:
+            dg1[...] += dg1v
+            db1[...] += db1v
+        dx = dx2 + dx_ln
+        dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
+        return
+    # attention backward, per head
+    import os
+    rs_identity_bwd = bool(os.environ.get('SRCACO2_SWIN_BWD_RS'))
+    dqs, dks, dvs = [], [], []
+    heads_iter = () if 'attnbwd' in _abl else range(heads)
+    for h in heads_iter:
+        q, k, v, e, rinv = it['saved'][h]
+        doh = do[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
+        if rs_identity_bwd:
+            # Flash-style variant: fold 1/r into the (t, hd) upstream
+            # grad and use rowsum(dP.P) = rowsum(dO.O) — fewer (t, t)
+            # passes on paper, but MEASURED 12% SLOWER than the plain
+            # chain below on v5e (in-process A/B, 47.5 vs 42.3 ms for
+            # the 36-block fwd+bwd): Mosaic schedules the plain
+            # multiply-reduce chain better. Kept for future re-tuning.
+            oh = it['o'][:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
+            dohs = doh * rinv                             # (ib, t, hd)
+            rs = jnp.sum(dohs * oh.astype(jnp.float32), axis=-1,
+                         keepdims=True)                   # (ib, t, 1)
+            dohs = dohs.astype(cdt)
+            dp = _dotg(dohs, v, _QK, cdt).astype(cdt)     # (ib, t, t)
+            ds = e * (dp - rs.astype(cdt))                # (ib, t, t)
+            dv = _dotg(e, dohs, _PT, cdt)                 # (ib, t, hd)
+        else:
+            p = e * rinv.astype(cdt)                      # (ib, t, t)
+            dp = _dotg(doh, v, _QK, cdt).astype(cdt)      # (ib, t, t)
+            dv = _dotg(p, doh, _PT, cdt)                  # (ib, t, hd)
+            rs = jnp.sum(dp * p, axis=-1, keepdims=True,
+                         dtype=jnp.float32)
+            ds = p * (dp - rs.astype(cdt))
+        if acc_w:
+            dbias[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
         # q columns were pre-scaled outside; no extra scale here
         dq = _dotg(ds, k, _PV, cdt)                       # (ib, t, hd)
         dk = _dotg(ds, q, _PT, cdt)                       # (ib, t, hd)
         dqs.append(dq.reshape(ib * t, hd))
         dks.append(dk.reshape(ib * t, hd))
         dvs.append(dv.reshape(ib * t, hd))
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)      # (m, 3c)
-    dwqkv[...] += _dotg(it['y'], dqkv, (((0,), (0,)), ((), ())), cdt)
-    dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    if 'attnbwd' in _abl:
+        dqkv = jnp.zeros((ib * t, 3 * c), cdt)
+    else:
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (m, 3c)
+    if acc_w:
+        dwqkv[...] += _dotg(it['y'], dqkv, (((0,), (0,)), ((), ())),
+                            cdt)
+        dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
     dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
     dx_ln, dg1v, db1v = _ln_bwd(dy, g1[:], it['xhat1'], it['rstd1'])
-    dg1[...] += dg1v
-    db1[...] += db1v
+    if acc_w:
+        dg1[...] += dg1v
+        db1[...] += db1v
     dx = dx2 + dx_ln
     dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
 
@@ -347,7 +466,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
 def _pick_img_blk(b: int, t: int) -> int:
     """Images per grid step: keep the per-program working set well
     under VMEM (~16MB) while giving matmuls >= 512 rows.
-    SRCACO2_SWIN_IB overrides the row target for tuning."""
+    SRCACO2_SWIN_IB_ROWS overrides the row target for tuning."""
     import os
     rows = int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512'))
     target = max(1, rows // t)
@@ -355,6 +474,17 @@ def _pick_img_blk(b: int, t: int) -> int:
     while b % ib:
         ib -= 1
     return ib
+
+
+def _compiler_params():
+    """Optional scoped-VMEM ceiling override (bytes) for tuning larger
+    images-per-program blocks; Mosaic's default scope is 16MB."""
+    import os
+    mb = os.environ.get('SRCACO2_SWIN_VMEM_MB')
+    if not mb:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(float(mb) * 2 ** 20))
 
 
 def _weight_specs(shapes):
@@ -400,6 +530,7 @@ def _make_block_op(heads: int, interpret: bool, cdt):
             + _weight_specs(_w_shapes(c, ch, heads, t)),
             out_specs=pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )(x, *_cast_wb(wb, cdt))
 
@@ -431,6 +562,7 @@ def _make_block_op(heads: int, interpret: bool, cdt):
             out_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)]
             + _weight_specs(w_shapes),
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )(x, *_cast_wb(wb, cdt), dout)
         return tuple(outs)
