@@ -34,11 +34,8 @@ def main():
 
     # (name, env overrides)
     CONFIGS = [
-        ('per-head', {'SRCACO2_SWIN_HEADS_BATCHED': '0'}),
-        ('heads-batched', {'SRCACO2_SWIN_HEADS_BATCHED': '1'}),
-        ('heads-batched rows1024', {'SRCACO2_SWIN_HEADS_BATCHED': '1',
-                                    'SRCACO2_SWIN_IB_ROWS': '1024',
-                                    'SRCACO2_SWIN_VMEM_MB': '100'}),
+        ('stats-reuse', {}),
+        ('stats-recompute', {'SRCACO2_SWIN_BWD_ABLATE': 'nostats'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',

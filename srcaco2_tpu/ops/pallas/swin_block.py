@@ -235,12 +235,13 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
         q = _split_heads(qkv, ib, t, c, heads, 0)     # (h*ib, t, hd)
         k = _split_heads(qkv, ib, t, c, heads, c)
         v = _split_heads(qkv, ib, t, c, heads, 2 * c)
-        bias_b = jnp.broadcast_to(
-            bias_ref[:][:, None], (heads, ib, t, t)).reshape(
-                heads * ib, t, t)
-        s = _dotg(q, k, _QK, cdt).astype(cdt) + bias_b
+        # elementwise chain in 4D so the (h, 1, t, t) bias broadcasts
+        # over images without materializing a (h*ib, t, t) copy; the
+        # dots see the merged single batch dim.
+        s = _dotg(q, k, _QK, cdt).reshape(heads, ib, t, t)
+        s = s.astype(cdt) + bias_ref[:][:, None]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)                            # (h*ib, t, t)
+        e = jnp.exp(s - m).reshape(heads * ib, t, t)  # (h*ib, t, t)
         r = jnp.sum(e, axis=-1, keepdims=True,
                     dtype=jnp.float32)
         rinv = 1.0 / r
