@@ -33,9 +33,13 @@ def main():
     key = jax.random.key(0)
 
     # (name, env overrides)
+    # default set: production kernel vs its main documented variants;
+    # edit freely for one-off experiments (bwd ablation flags 'dw',
+    # 'attnbwd', 'mlpbwd' give the component breakdown).
     CONFIGS = [
-        ('stats-reuse', {}),
-        ('stats-recompute', {'SRCACO2_SWIN_BWD_ABLATE': 'nostats'}),
+        ('base', {}),
+        ('per-head attention', {'SRCACO2_SWIN_HEADS_BATCHED': '0'}),
+        ('rs-identity bwd', {'SRCACO2_SWIN_BWD_RS': '1'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',

@@ -25,6 +25,47 @@ from srcaco2_tpu.models.blocks import (Conv, ResBlock, Upsampler,
 Dtype = Any
 
 
+def _take(t, idx):
+    """Row gather as an EXACT one-hot matmul: out[b,i] = t[b,idx[b,i]].
+    Per-element take_along_axis lowers to a serial TPU gather (measured
+    ~1 s per call at (64, 1024, 256)); the one-hot contraction is two
+    fast ops (a VPU compare + an MXU matmul) and is bit-exact (one
+    nonzero per row)."""
+    oh = (idx[..., None]
+          == jnp.arange(t.shape[1])[None, None, :]).astype(t.dtype)
+    return jax.lax.dot_general(
+        oh, t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(t.dtype)
+
+
+@jax.custom_vjp
+def permute_rows(t, idx, inv_idx):
+    """t[idx] along axis 1, for idx with per-round PERMUTATION
+    structure (see NonLocalSparseAttention: round r of `indices` is a
+    permutation of [r*L, (r+1)*L), `inv_idx` its inverse). The custom
+    VJP expresses the transpose as the inverse-permutation gather —
+    rebuilding the small one-hot from inv_idx instead of saving the
+    (B, S, S) forward one-hot as a residual — and sums the nh-fold
+    round duplicates when the source has L rows."""
+    return _take(t, idx)
+
+
+def _pr_fwd(t, idx, inv_idx):
+    return _take(t, idx), (inv_idx, t.shape[1])
+
+
+def _pr_bwd(res, g):
+    inv_idx, src_rows = res
+    gt = _take(g, inv_idx)               # (B, nh*L, C) source order
+    if src_rows != gt.shape[1]:          # nh rounds -> sum rounds
+        gt = gt.reshape(gt.shape[0], -1, src_rows,
+                        gt.shape[-1]).sum(axis=1)
+    return gt, None, None
+
+
+permute_rows.defvjp(_pr_fwd, _pr_bwd)
+
+
 class NonLocalSparseAttention(nn.Module):
     channels: int
     n_hashes: int = 4
@@ -70,12 +111,13 @@ class NonLocalSparseAttention(nn.Module):
         undo_sort = jnp.argsort(indices, axis=-1)
         mod_idx = indices % L
 
-        def gather(t, idx):
-            return jnp.take_along_axis(
-                t, idx[..., None].repeat(t.shape[-1], -1), axis=1)
-
-        x_sorted = gather(x_embed, mod_idx)              # (B, nh*L, rc)
-        y_sorted = gather(y_embed, mod_idx)
+        # Row gathers with PERMUTATION structure: the per-round offsets
+        # keep hash codes of round r in [r*buckets, (r+1)*buckets), so
+        # `indices` restricted to round r is a permutation of
+        # [r*L, (r+1)*L) and `undo_sort` is its inverse — see
+        # permute_rows above.
+        x_sorted = permute_rows(x_embed, mod_idx, undo_sort)
+        y_sorted = permute_rows(y_embed, mod_idx, undo_sort)
 
         pad = (ck - L % ck) % ck
         xb = x_sorted.reshape(b, self.n_hashes, L, red_c)
@@ -110,8 +152,8 @@ class NonLocalSparseAttention(nn.Module):
             bsc = bsc[:, :, :-pad]
         ret = ret.reshape(b, -1, self.channels)
         bsc = bsc.reshape(b, -1)
-        ret = gather(ret, undo_sort)
-        bsc = jnp.take_along_axis(bsc, undo_sort, axis=1)
+        ret = permute_rows(ret, undo_sort, indices)
+        bsc = permute_rows(bsc[..., None], undo_sort, indices)[..., 0]
 
         ret = ret.reshape(b, self.n_hashes, L, self.channels)
         probs = jax.nn.softmax(bsc.reshape(b, self.n_hashes, L, 1),

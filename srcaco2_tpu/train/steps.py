@@ -148,6 +148,9 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         holder = dict(holder)
         holder['_skipped'] = (~ok).astype(jnp.float32)
         holder['_corrupt'] = corrupt.astype(jnp.float32)
+        # packed flag so the trainer's per-step surfacing costs ONE
+        # device->host read (the axon tunnel charges per transfer)
+        holder['_flags'] = holder['_skipped'] + 2.0 * holder['_corrupt']
 
         new_state = state.replace(step=state.step + 1,
                                   params=new_params,

@@ -409,17 +409,17 @@ class Experiment:
             # hard-stops the run (reference check_corruption exits
             # every step — dlib/utils/tools.py:55, model_plain.py:343).
             if prev_flags is not None:
-                pstep, pskip, pcorrupt = prev_flags
-                if float(pskip):
+                pstep, pflags = prev_flags
+                pf = int(float(pflags))     # one packed host read
+                if pf & 1:
                     DLLogger.log(f'[warn] step {pstep}: non-finite '
                                  f'loss/grads — update skipped')
-                if float(pcorrupt):
+                if pf & 2:
                     raise RuntimeError(
                         f'step {pstep}: corrupted parameters or '
                         f'predictions (non-finite) — stopping '
                         f'(reference check_corruption semantics)')
-            prev_flags = (step - 1, holder['_skipped'],
-                          holder['_corrupt'])
+            prev_flags = (step - 1, holder['_flags'])
 
             # periodic weight regularizers (model_plain.py:365-387).
             orthstep = int(args['train'].get('G_regularizer_orthstep',
@@ -492,11 +492,12 @@ class Experiment:
 
         # drain the pending one-step-behind failure check
         if prev_flags is not None:
-            pstep, pskip, pcorrupt = prev_flags
-            if float(pskip):
+            pstep, pflags = prev_flags
+            pf = int(float(pflags))
+            if pf & 1:
                 DLLogger.log(f'[warn] step {pstep}: non-finite '
                              f'loss/grads — update skipped')
-            if float(pcorrupt):
+            if pf & 2:
                 raise RuntimeError(
                     f'step {pstep}: corrupted parameters or '
                     f'predictions (non-finite) — stopping')

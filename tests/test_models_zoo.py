@@ -122,6 +122,45 @@ def test_interpolate_baseline():
     assert out.shape == (2, 1, 32, 32)
 
 
+def test_nlsn_permute_rows_vjp_matches_scatter():
+    """The inverse-permutation backward of permute_rows (which avoids
+    the TPU scatter-add) must equal take_along_axis autodiff, for both
+    the full-size permutation and the nh-duplicated mod-L indices."""
+    from srcaco2_tpu.models.nlsn import permute_rows
+    r = np.random.default_rng(0)
+    B, nh, L, C = 2, 3, 8, 5
+    # per-round permutations (as produced by argsort of offset codes)
+    idx = np.stack([np.concatenate(
+        [rr * L + np.random.default_rng(10 * b + rr).permutation(L)
+         for rr in range(nh)]) for b in range(B)])
+    inv = np.argsort(idx, axis=-1)
+    idx_j, inv_j = jnp.asarray(idx), jnp.asarray(inv)
+    cot = jnp.asarray(r.normal(0, 1, (B, nh * L, C)), jnp.float32)
+
+    def naive(t, i):
+        return jnp.take_along_axis(
+            t, i[..., None].repeat(t.shape[-1], -1), axis=1)
+
+    # full-size permutation (the ret/bsc un-sort)
+    t_full = jnp.asarray(r.normal(0, 1, (B, nh * L, C)), jnp.float32)
+    g_c = jax.vjp(lambda t: permute_rows(t, inv_j, idx_j), t_full)[1](
+        cot)[0]
+    g_n = jax.vjp(lambda t: naive(t, inv_j), t_full)[1](cot)[0]
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_n),
+                               rtol=1e-6)
+    # L-sized source with nh-fold duplicated indices (x/y embed sort)
+    mod = idx_j % L
+    t_l = jnp.asarray(r.normal(0, 1, (B, L, C)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(permute_rows(t_l, mod, inv_j)),
+        np.asarray(naive(t_l, mod)))
+    g_c = jax.vjp(lambda t: permute_rows(t, mod, inv_j), t_l)[1](
+        cot)[0]
+    g_n = jax.vjp(lambda t: naive(t, mod), t_l)[1](cot)[0]
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_n),
+                               rtol=1e-6)
+
+
 def test_nlsn_in_train_step():
     """NLSN's 'lsh' rng stream is provided by the train step."""
     import jax
