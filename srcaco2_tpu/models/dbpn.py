@@ -101,19 +101,27 @@ class DBPN(nn.Module):
         y = _CB(self.feat, 3, 1, 1, dtype=self.dtype)(y)
         l = _CB(nf, 1, 1, 0, dtype=self.dtype)(y)
 
-        up1 = UpBlock(nf, k, s, p, dtype=self.dtype, name='up1')
-        down1 = DownBlock(nf, k, s, p, dtype=self.dtype, name='down1')
-        up2 = UpBlock(nf, k, s, p, dtype=self.dtype, name='up2')
-        down2 = DownBlock(nf, k, s, p, 2, dtype=self.dtype, name='down2')
-        up3 = UpBlock(nf, k, s, p, 2, dtype=self.dtype, name='up3')
-        down3 = DownBlock(nf, k, s, p, 3, dtype=self.dtype, name='down3')
-        up4 = UpBlock(nf, k, s, p, 3, dtype=self.dtype, name='up4')
-        down4 = DownBlock(nf, k, s, p, 4, dtype=self.dtype, name='down4')
-        up5 = UpBlock(nf, k, s, p, 4, dtype=self.dtype, name='up5')
-        down5 = DownBlock(nf, k, s, p, 5, dtype=self.dtype, name='down5')
-        up6 = UpBlock(nf, k, s, p, 5, dtype=self.dtype, name='up6')
-        down6 = DownBlock(nf, k, s, p, 6, dtype=self.dtype, name='down6')
-        up7 = UpBlock(nf, k, s, p, 6, dtype=self.dtype, name='up7')
+        # remat per projection block: the dense connectivity keeps
+        # every stage's HR tensor alive by design (~32GB of live
+        # activations at batch 64 / x8 / 128^2 — docs/BENCH_ANALYSIS);
+        # recomputing block bodies bounds the per-conv backward
+        # residuals to block boundaries at ~15% extra flops, giving
+        # headroom at the chip-supported batch sizes (<= 32 on 16GB).
+        Up = nn.remat(UpBlock, prevent_cse=False)
+        Down = nn.remat(DownBlock, prevent_cse=False)
+        up1 = Up(nf, k, s, p, dtype=self.dtype, name='up1')
+        down1 = Down(nf, k, s, p, dtype=self.dtype, name='down1')
+        up2 = Up(nf, k, s, p, dtype=self.dtype, name='up2')
+        down2 = Down(nf, k, s, p, 2, dtype=self.dtype, name='down2')
+        up3 = Up(nf, k, s, p, 2, dtype=self.dtype, name='up3')
+        down3 = Down(nf, k, s, p, 3, dtype=self.dtype, name='down3')
+        up4 = Up(nf, k, s, p, 3, dtype=self.dtype, name='up4')
+        down4 = Down(nf, k, s, p, 4, dtype=self.dtype, name='down4')
+        up5 = Up(nf, k, s, p, 4, dtype=self.dtype, name='up5')
+        down5 = Down(nf, k, s, p, 5, dtype=self.dtype, name='down5')
+        up6 = Up(nf, k, s, p, 5, dtype=self.dtype, name='up6')
+        down6 = Down(nf, k, s, p, 6, dtype=self.dtype, name='down6')
+        up7 = Up(nf, k, s, p, 6, dtype=self.dtype, name='up7')
 
         results = []
         for _ in range(self.num_stages):
