@@ -64,6 +64,8 @@ def main():
     ap.add_argument('--epochs', type=int, default=10000)
     ap.add_argument('--lr', type=float, default=4e-4)
     ap.add_argument('--net', default='VDSR')
+    ap.add_argument('--scale', type=int, default=2)
+    ap.add_argument('--batch', type=int, default=32)
     ns = ap.parse_args()
 
     from srcaco2_tpu.data import build_scripts as B
@@ -80,18 +82,20 @@ def main():
         print('# built:', {k: v for k, v in counts.items()
                            if k.startswith('_') or 'CELL0' in k})
 
-    train_ds = constants.caco2_name(constants.TRAINSET, 2,
+    train_ds = constants.caco2_name(constants.TRAINSET, ns.scale,
                                     constants.CELL0)
-    valid_ds = constants.caco2_name(constants.VALIDSET, 2,
+    valid_ds = constants.caco2_name(constants.VALIDSET, ns.scale,
                                     constants.CELL0)
-    test_ds = constants.caco2_name(constants.TESTSET, 2,
+    test_ds = constants.caco2_name(constants.TESTSET, ns.scale,
                                    constants.CELL0)
     cmd = [sys.executable, os.path.join(REPO, 'main.py'),
-           '--net_type', ns.net, '--scale', '2', '--l2', 'True',
+           '--net_type', ns.net, '--scale', str(ns.scale),
+           '--l2', 'True',
            '--data_root', root, '--splits_root', root,
            '--train_dsets', train_ds, '--valid_dsets', valid_ds,
            '--test_dsets', test_ds,
-           '--max_epochs', str(ns.epochs), '--batch_size', '32',
+           '--max_epochs', str(ns.epochs),
+           '--batch_size', str(ns.batch),
            '--h_size', '64', '--eval_bsize', '8',
            '--checkpoint_eval', '4000', '--checkpoint_save', '8000',
            '--G_optimizer_lr', str(ns.lr), '--plot_epoch_freq', '0']
@@ -106,7 +110,7 @@ def main():
     import glob
     import yaml
 
-    bi = eval_bicubic(root, root, 2, constants.CELL0)
+    bi = eval_bicubic(root, root, ns.scale, constants.CELL0)
     # trained test numbers from the experiment's summary yaml
     trained = {}
     # test numbers: average the per-image test details written by
@@ -139,15 +143,17 @@ def main():
                  'train->eval->metric stack and the trained-vs-bicubic '
                  'gap through the same code path the published-number '
                  'checks use (diagnosis/parity.py).'),
-        'config': {'net': ns.net, 'scale': 2, 'cell': 'CELL0',
-                   'epochs': ns.epochs, 'h_size': 64, 'batch': 32,
-                   'loss': 'l2'},
+        'config': {'net': ns.net, 'scale': ns.scale, 'cell': 'CELL0',
+                   'epochs': ns.epochs, 'h_size': 64,
+                   'batch': ns.batch, 'loss': 'l2'},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},
         'trained_test': {k: scalars(v) for k, v in trained.items()},
     }
-    out_path = os.path.join(REPO, 'srcaco2_tpu', 'diagnosis',
-                            'PARITY_RUN.yaml')
+    fname = 'PARITY_RUN.yaml' if (ns.net == 'VDSR'
+                                  and ns.scale == 2) else \
+        f'PARITY_RUN_{ns.net}_x{ns.scale}.yaml'
+    out_path = os.path.join(REPO, 'srcaco2_tpu', 'diagnosis', fname)
     with open(out_path, 'w') as f:
         yaml.safe_dump(out, f, sort_keys=False)
     print(f'# wrote {out_path}')

@@ -24,6 +24,12 @@ def main():
     ap.add_argument('--scale', type=int, default=2)
     ap.add_argument('--n_train', type=int, default=48)
     ap.add_argument('--size', type=int, default=128)
+    ap.add_argument('--h_size', type=int, default=64)
+    ap.add_argument('--lr', type=float, default=0.0005)
+    ap.add_argument('--eval_every', default='1.0',
+                    help='checkpoint_eval: float in ]0,1] = fraction '
+                         'of an epoch, int = every N iterations '
+                         '(fewer mid-train validations for long runs)')
     ns = ap.parse_args()
 
     from srcaco2_tpu.config.parser import get_args
@@ -40,14 +46,15 @@ def main():
     epochs = max(1, ns.steps // spe)
     args = get_args([
         '--net_type', ns.net, '--scale', str(ns.scale),
-        '--h_size', '64', '--n_channels', '1',
+        '--h_size', str(ns.h_size), '--n_channels', '1',
         '--train_dsets', names[0], '--valid_dsets', names[1],
         '--test_dsets', names[2],
         '--data_root', root, '--splits_root', root,
         '--l2', 'True', '--max_epochs', str(epochs),
         '--batch_size', str(batch), '--eval_bsize', '6',
-        '--checkpoint_eval', '1.0', '--checkpoint_save', '1.0',
-        '--G_optimizer_lr', '0.0005'])
+        '--checkpoint_eval', ns.eval_every,
+        '--checkpoint_save', ns.eval_every,
+        '--G_optimizer_lr', str(ns.lr)])
     args['abs_fd_exp'] = os.path.join(root, 'exp')
     os.makedirs(args['abs_fd_exp'], exist_ok=True)
 
