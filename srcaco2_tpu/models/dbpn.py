@@ -91,6 +91,9 @@ class DBPN(nn.Module):
     base_filter: int = 64
     feat: int = 256
     num_stages: int = 3
+    # numerics-identical; off reproduces the un-lifted param-dict
+    # creation order (the order-based torch port relies on it)
+    remat_blocks: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,8 +110,11 @@ class DBPN(nn.Module):
         # recomputing block bodies bounds the per-conv backward
         # residuals to block boundaries at ~15% extra flops, giving
         # headroom at the chip-supported batch sizes (<= 32 on 16GB).
-        Up = nn.remat(UpBlock, prevent_cse=False)
-        Down = nn.remat(DownBlock, prevent_cse=False)
+        if self.remat_blocks:
+            Up = nn.remat(UpBlock, prevent_cse=False)
+            Down = nn.remat(DownBlock, prevent_cse=False)
+        else:
+            Up, Down = UpBlock, DownBlock
         up1 = Up(nf, k, s, p, dtype=self.dtype, name='up1')
         down1 = Down(nf, k, s, p, dtype=self.dtype, name='down1')
         up2 = Up(nf, k, s, p, dtype=self.dtype, name='up2')

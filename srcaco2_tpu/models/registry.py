@@ -101,7 +101,9 @@ def define_g(args: dict) -> nn.Module:
                     upscale=_p(netG, nt, 'upscale'),
                     base_filter=_p(netG, nt, 'base_filter'),
                     feat=_p(netG, nt, 'feat'),
-                    num_stages=_p(netG, nt, 'num_stages'), dtype=dtype)
+                    num_stages=_p(netG, nt, 'num_stages'),
+                    remat_blocks=netG.get('dbpn_remat_blocks', True),
+                    dtype=dtype)
     if nt == constants.SRFBN:
         from srcaco2_tpu.models.srfbn import SRFBN
         return SRFBN(in_chans=_p(netG, nt, 'in_chans'),

@@ -154,7 +154,12 @@ def test_nlsn_stochastic_envelope():
 
 
 def test_dbpn():
-    assert_close(*both_outputs(constants.DBPN), rtol=3e-5)
+    # remat-free init: the remat lift canonicalizes (sorts) the param
+    # dict, breaking the creation-order zip the port relies on; the
+    # math is identical either way.
+    assert_close(*both_outputs(
+        constants.DBPN, shrink={'dbpn_remat_blocks': False}),
+        rtol=3e-5)
 
 
 def test_mslapsr():
