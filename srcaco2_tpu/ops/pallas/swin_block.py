@@ -26,6 +26,14 @@ the 128x128 MXU than (64, 30) slivers.
 
 Eligible for T <= MAX_T tokens (training-patch shapes); larger inputs
 (full-image eval) use the windowed jnp path in models/swin_fused.py.
+
+Tuning/measurement env knobs (see docs/BENCH_ANALYSIS.md for the
+measured history): SRCACO2_SWIN_HEADS_BATCHED (default on: all heads
+in one single-batch-dim dot_general + one softmax chain — per-op
+overhead dominates at these shapes), SRCACO2_SWIN_BWD_RS (flash-style
+backward variant, measured slower), SRCACO2_SWIN_IB_ROWS /
+SRCACO2_SWIN_VMEM_MB (images-per-program tuning),
+SRCACO2_SWIN_BWD_ABLATE (component timing ablations for perf_ab.py).
 """
 import functools
 
@@ -405,7 +413,6 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
         dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
         return
     # attention backward, per head
-    import os
     rs_identity_bwd = bool(os.environ.get('SRCACO2_SWIN_BWD_RS'))
     dqs, dks, dvs = [], [], []
     heads_iter = () if 'attnbwd' in _abl else range(heads)
