@@ -24,36 +24,33 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def make_raw_sessions(root, n_tiles=8, hr=512):
+def make_raw_sessions(root, n_tiles=8, hr=512, seed=0):
+    """Raw microscope-session tiles for the offline builder: RICH
+    structured tiles (srcaco2_tpu.data.synthetic.rich_cell_tile) with
+    per-channel marker statistics matching the real dataset's CELL0/1/2,
+    degraded to each LR resolution with binning + shot/read noise
+    (degrade_lr) plus a small rigid shift the builder's registration
+    must recover — the learnable-degradation setting for convergence
+    runs (smooth-blob tiles give bicubic-optimal content on which no
+    net can show its published margin)."""
     from srcaco2_tpu.data import build_scripts as B
-    rng = np.random.default_rng(0)
+    from srcaco2_tpu.data.synthetic import rich_cell_tile, degrade_lr
+    rng = np.random.default_rng(seed)
     dirs = {sc: os.path.join(root, 'raw', f'res{sc}')
             for sc in (1, 2, 4, 8)}
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
-    yy, xx = np.mgrid[:hr, :hr]
     for t in range(1, n_tiles + 1):
-        tile = np.zeros((3, hr, hr), np.uint8)
-        for c in range(3):
-            img = np.zeros((hr, hr), np.float32)
-            for _ in range(120):
-                cy, cx = rng.integers(16, hr - 16, 2)
-                r = rng.integers(5, 26)
-                img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = \
-                    rng.integers(50, 230)
-            # smooth texture inside cells
-            img += rng.normal(0, 6, (hr, hr))
-            tile[c] = np.clip(img, 0, 255).astype(np.uint8)
+        tile = np.stack([rich_cell_tile(rng, hr, c)
+                         for c in ('CELL0', 'CELL1', 'CELL2')])
         for sc, d in dirs.items():
             if sc == 1:
                 img = tile
             else:
                 dy, dx = int(rng.integers(-2, 3)), int(rng.integers(-2, 3))
                 sh = np.roll(np.roll(tile, dy, 1), dx, 2)
-                # real-LR noise
-                lo = sh[:, ::sc, ::sc].astype(np.float32)
-                lo = np.clip(lo + rng.normal(0, 3, lo.shape), 0, 255)
-                img = lo.astype(np.uint8)
+                img = np.stack([degrade_lr(sh[c], sc, rng)
+                                for c in range(3)])
             B._imsave_chw(img, os.path.join(d, f'exp_Tile{t}_acq.tif'))
     return [B.SessionSpec(res_dirs=dirs)]
 
@@ -62,10 +59,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--root', default=os.path.join(REPO, '.parity_data'))
     ap.add_argument('--epochs', type=int, default=10000)
-    ap.add_argument('--lr', type=float, default=4e-4)
+    ap.add_argument('--lr', type=float, default=2e-4)
     ap.add_argument('--net', default='VDSR')
     ap.add_argument('--scale', type=int, default=2)
     ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--h_size', type=int, default=64)
+    ap.add_argument('--n_tiles', type=int, default=24)
+    ap.add_argument('--cell', default='CELL0')
+    ap.add_argument('--loss', default='l2ssim',
+                    choices=['l2', 'l2ssim'],
+                    help='l2ssim = the runbook flagship loss '
+                         '(l2 + 5*SSIM window 19)')
+    ap.add_argument('--sched_step', type=int, default=0,
+                    help='>0: MyStepLR(step_size, gamma 0.5, floor '
+                         'lr/16) ticked per iteration (reference '
+                         'quirk); 0: constant lr')
+    ap.add_argument('--clipgrad', type=float, default=0.5)
+    ap.add_argument('--eval_every', default='4000')
+    ap.add_argument('--fused', default=None,
+                    help='SwinIR only: True/False routes the fused '
+                         'Pallas block kernel vs the windowed jnp path '
+                         '(--swinir_use_fused_blocks) for the long-run '
+                         'numerics A/B')
+    ap.add_argument('--tag', default='',
+                    help='suffix for the output yaml name')
+    ap.add_argument('--seed', type=int, default=0)
     ns = ap.parse_args()
 
     from srcaco2_tpu.data import build_scripts as B
@@ -74,7 +92,7 @@ def main():
     root = ns.root
     if not os.path.isdir(os.path.join(root, 'caco2')):
         print('# building dataset from raw tiles (full pipeline)...')
-        sessions = make_raw_sessions(root)
+        sessions = make_raw_sessions(root, n_tiles=ns.n_tiles)
         counts = B.build_caco2_from_raw(
             sessions, root, hr_size=512, psize=128, del_border=8,
             min_area=0.1, threshold=4.0, n_test_tiles=2,
@@ -83,11 +101,11 @@ def main():
                            if k.startswith('_') or 'CELL0' in k})
 
     train_ds = constants.caco2_name(constants.TRAINSET, ns.scale,
-                                    constants.CELL0)
+                                    ns.cell)
     valid_ds = constants.caco2_name(constants.VALIDSET, ns.scale,
-                                    constants.CELL0)
+                                    ns.cell)
     test_ds = constants.caco2_name(constants.TESTSET, ns.scale,
-                                   constants.CELL0)
+                                   ns.cell)
     cmd = [sys.executable, os.path.join(REPO, 'main.py'),
            '--net_type', ns.net, '--scale', str(ns.scale),
            '--l2', 'True',
@@ -96,9 +114,23 @@ def main():
            '--test_dsets', test_ds,
            '--max_epochs', str(ns.epochs),
            '--batch_size', str(ns.batch),
-           '--h_size', '64', '--eval_bsize', '8',
-           '--checkpoint_eval', '4000', '--checkpoint_save', '8000',
-           '--G_optimizer_lr', str(ns.lr), '--plot_epoch_freq', '0']
+           '--h_size', str(ns.h_size), '--eval_bsize', '8',
+           '--checkpoint_eval', str(ns.eval_every),
+           '--checkpoint_save', str(ns.eval_every),
+           '--G_optimizer_lr', str(ns.lr), '--plot_epoch_freq', '0',
+           '--myseed', str(ns.seed)]
+    if ns.loss == 'l2ssim':
+        cmd += ['--ssim', 'True', '--ssim_lambda', '5',
+                '--ssim_window_s', '19']
+    if ns.clipgrad > 0:
+        cmd += ['--G_optimizer_clipgrad', str(ns.clipgrad)]
+    if ns.sched_step > 0:
+        cmd += ['--G_scheduler_type', constants.MYSTEPLR,
+                '--G_scheduler_step_size', str(ns.sched_step),
+                '--G_scheduler_gamma', '0.5',
+                '--G_scheduler_min_lr', str(ns.lr / 16)]
+    if ns.fused is not None:
+        cmd += ['--swinir_use_fused_blocks', ns.fused]
     print('#', ' '.join(cmd))
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=root, env=env)
@@ -110,7 +142,7 @@ def main():
     import glob
     import yaml
 
-    bi = eval_bicubic(root, root, ns.scale, constants.CELL0)
+    bi = eval_bicubic(root, root, ns.scale, ns.cell)
     # trained test numbers from the experiment's summary yaml
     trained = {}
     # test numbers: average the per-image test details written by
@@ -136,6 +168,35 @@ def main():
                     else v) for k, v in d.items()} \
             if isinstance(d, dict) else d
 
+    # training curves from the exp tracker (loss per epoch, valid PSNR
+    # per checkpoint) — committed alongside the end numbers so the
+    # learning trajectory is inspectable, not just the endpoint.
+    import pickle
+
+    def thin(xs, cap=150):
+        xs = [round(float(v), 5) for v in xs]
+        if len(xs) <= cap:
+            return xs
+        idx = np.linspace(0, len(xs) - 1, cap).round().astype(int)
+        return [xs[i] for i in idx]
+
+    curves = {}
+    for tf in glob.glob(os.path.join(root, 'exps', '**', 'tracker.pkl'),
+                        recursive=True):
+        with open(tf, 'rb') as f:
+            trk = pickle.load(f)
+        tr = trk.get(constants.TRAINSET, trk.get('train', {}))
+        for period in ('period_epoch',):
+            for lname, vals in tr.get(period, {}).items():
+                if vals:
+                    curves[f'train_{lname}_per_epoch'] = thin(vals)
+        for ds, mtrs in trk.get(constants.VALIDSET, {}).items():
+            e = mtrs.get(constants.PSNR_MTR, {})
+            if e.get('vals'):
+                curves[f'valid_psnr_{ds}'] = thin(e['vals'])
+                curves[f'valid_steps_{ds}'] = [
+                    int(s) for s in thin(e.get('steps', []))]
+
     out = {
         'note': ('End-to-end parity-harness run on a BUILDER-generated '
                  'synthetic dataset (real SR-CACO-2 images unavailable '
@@ -143,16 +204,21 @@ def main():
                  'train->eval->metric stack and the trained-vs-bicubic '
                  'gap through the same code path the published-number '
                  'checks use (diagnosis/parity.py).'),
-        'config': {'net': ns.net, 'scale': ns.scale, 'cell': 'CELL0',
-                   'epochs': ns.epochs, 'h_size': 64,
-                   'batch': ns.batch, 'loss': 'l2'},
+        'config': {'net': ns.net, 'scale': ns.scale, 'cell': ns.cell,
+                   'epochs': ns.epochs, 'h_size': ns.h_size,
+                   'batch': ns.batch, 'loss': ns.loss,
+                   'lr': ns.lr, 'sched_step': ns.sched_step,
+                   'clipgrad': ns.clipgrad, 'n_tiles': ns.n_tiles,
+                   'seed': ns.seed, 'tiles': 'rich',
+                   'fused': ns.fused},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},
         'trained_test': {k: scalars(v) for k, v in trained.items()},
+        'curves': curves,
     }
     fname = 'PARITY_RUN.yaml' if (ns.net == 'VDSR'
-                                  and ns.scale == 2) else \
-        f'PARITY_RUN_{ns.net}_x{ns.scale}.yaml'
+                                  and ns.scale == 2 and not ns.tag) else \
+        f'PARITY_RUN_{ns.net}_x{ns.scale}{ns.tag}.yaml'
     out_path = os.path.join(REPO, 'srcaco2_tpu', 'diagnosis', fname)
     with open(out_path, 'w') as f:
         yaml.safe_dump(out, f, sort_keys=False)

@@ -19,6 +19,14 @@ architectures (both sides built in the same construction sequence by
 design) the sequences align 1:1. Every match is shape-checked after
 re-layout, and the differential tests verify the ported forward
 outputs agree, so a silent mis-pairing cannot survive.
+
+KNOWN ORDER CONSTRAINT — DBPN: `nn.remat` lifting canonicalizes
+(sorts) the flax param dict, and DBPN's many up/down projection
+blocks share identical shapes, so porting into a remat-lifted DBPN
+can mis-pair parameters WITHOUT tripping the shape check. Port DBPN
+through `port_dbpn` (which enforces it), or init the model with
+`remat_blocks=False` (models/dbpn.py) — the math is identical either
+way; remat only changes activation memory.
 """
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -93,6 +101,21 @@ def port_state_dict(torch_params: List[Tuple[str, np.ndarray]],
         out[fkey] = jnp.asarray(
             relayout(np.asarray(arr)), flat[fkey].dtype)
     return unflatten_dict(out)
+
+
+def port_dbpn(torch_params: List[Tuple[str, np.ndarray]],
+              flax_params: Dict, remat_blocks: bool) -> Dict:
+    """Order-based DBPN port with the remat guard (see module
+    docstring): the caller passes the model's `remat_blocks` setting
+    explicitly so a default-config (remat=True) tree cannot be ported
+    silently."""
+    if remat_blocks:
+        raise ValueError(
+            'DBPN port requires remat_blocks=False: the remat lift '
+            'sorts the param dict and DBPN\'s identically-shaped '
+            'blocks would silently mis-pair under the creation-order '
+            'zip (see torch_port.py module docstring).')
+    return port_state_dict(torch_params, flax_params)
 
 
 def torch_named_params(module) -> List[Tuple[str, np.ndarray, str]]:

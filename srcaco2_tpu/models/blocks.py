@@ -153,11 +153,15 @@ class StridedConv(nn.Module):
 class ConvT(nn.Module):
     """torch ConvTranspose2d equivalent: full ('VALID') transpose conv,
     then crop `padding` from each side — out = in*stride when
-    kernel - 2*padding == stride."""
+    kernel - 2*padding == stride. `output_padding` follows torch: it
+    extends the OUTPUT at the bottom/right, i.e. the crop there shrinks
+    to padding - output_padding (e.g. the reference UNet/X2 deconvs,
+    network_unet2.py:44 / network_deconv.py: k3 s2 p1 op1)."""
     features: int
     kernel: int
     stride: int
     padding: int
+    output_padding: int = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(
@@ -170,9 +174,10 @@ class ConvT(nn.Module):
                              padding='VALID', use_bias=self.use_bias,
                              dtype=self.dtype,
                              kernel_init=self.kernel_init)(x)
-        p = self.padding
-        if p:
-            y = y[:, p:-p, p:-p, :]
+        p, q = self.padding, self.padding - self.output_padding
+        assert q >= 0, (self.padding, self.output_padding)
+        if p or q:
+            y = y[:, p:y.shape[1] - q, p:y.shape[2] - q, :]
         return y
 
 

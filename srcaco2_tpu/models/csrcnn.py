@@ -75,11 +75,14 @@ class UNetSR(nn.Module):
         dec2 = enc2
         for _ in range(self.res_blocks):
             dec2 = _Res5(ic * 4, dtype=self.dtype)(dec2)
-        dec2 = nn.relu(ConvT(ic * 2, 4, 2, 1, dtype=self.dtype)(dec2))
+        # reference Deconv: k3 s2 p1 output_padding1 (network_unet2.py)
+        dec2 = nn.relu(ConvT(ic * 2, 3, 2, 1, output_padding=1,
+                             dtype=self.dtype)(dec2))
         dec1 = dec2 + enc1
         for _ in range(self.res_blocks):
             dec1 = _Res5(ic * 2, dtype=self.dtype)(dec1)
-        dec1 = nn.relu(ConvT(ic, 4, 2, 1, dtype=self.dtype)(dec1))
+        dec1 = nn.relu(ConvT(ic, 3, 2, 1, output_padding=1,
+                             dtype=self.dtype)(dec1))
         outb = dec1 + inb
         for _ in range(self.res_blocks):
             outb = _Res5(ic, dtype=self.dtype)(outb)
@@ -138,7 +141,9 @@ class PyramidSR(nn.Module):
         y = group(y, ic, 1)
         y = group(y, ic * 2, 1)
         y = group(y, ic * 4, 1)
-        y = nn.relu(ConvT(ic * 2, 4, 2, 1, dtype=self.dtype)(y))
+        # reference Deconv: k3 s2 p1 output_padding1 (network_deconv.py)
+        y = nn.relu(ConvT(ic * 2, 3, 2, 1, output_padding=1,
+                          dtype=self.dtype)(y))
         y = group(y, ic * 2, 3)
         y = group(y, ic * 2, 1)
         y = group(y, ic * 2, 1)
@@ -174,8 +179,14 @@ class SmallCSRCNN(nn.Module):
             p = (k - 1) // 2
             g = groups if z.shape[-1] % groups == 0 and \
                 out_c % groups == 0 else 1
-            out = nn.Conv(out_c, (k, k), padding=[(p, p), (p, p)],
-                          feature_group_count=g, dtype=self.dtype)(z)
+            zin = z
+            if p:
+                # reference _full_conv uses padding_mode='reflect'
+                # (network_csr_cnn.py:_full_conv)
+                zin = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0)),
+                              mode='reflect')
+            out = nn.Conv(out_c, (k, k), padding='VALID',
+                          feature_group_count=g, dtype=self.dtype)(zin)
             if self.use_local_residual:
                 out = nn.relu(out)
                 if z.shape[-1] != out_c:
@@ -210,6 +221,7 @@ class CSRCNN(nn.Module):
     res_blocks: int = 3
     dropout: float = 0.0
     use_global_residual: bool = True
+    use_local_residual: bool = False
     net_task: str = constants.REGRESSION
     dtype: Dtype = jnp.float32
 
@@ -230,6 +242,7 @@ class CSRCNN(nn.Module):
         # fed the bicubic pre-upscale like the unet variant
         # (model_plain.py:186), so no internal upscale (upscale=1).
         return SmallCSRCNN(1, self.in_planes, h_layers,
-                           self.in_ksz, self.ngroups, False,
+                           self.in_ksz, self.ngroups,
+                           self.use_local_residual,
                            self.use_global_residual,
                            dtype=self.dtype, name='smallcnn')(x, train)

@@ -30,7 +30,14 @@ def _take(t, idx):
     Per-element take_along_axis lowers to a serial TPU gather (measured
     ~1 s per call at (64, 1024, 256)); the one-hot contraction is two
     fast ops (a VPU compare + an MXU matmul) and is bit-exact (one
-    nonzero per row)."""
+    nonzero per row).
+
+    Shape regime: the one-hot materializes (B, S, S) with
+    S = n_hashes*L, i.e. memory quadratic in the token count — ~4 MB
+    per image at the benchmarked x8 shapes (S=1024) but multiple GB
+    per layer once S reaches 4096+ (e.g. x2 with a large h_size). For
+    such configs chunk the contraction over rows or fall back to
+    take_along_axis, which is linear-memory but serial."""
     oh = (idx[..., None]
           == jnp.arange(t.shape[1])[None, None, :]).astype(t.dtype)
     return jax.lax.dot_general(

@@ -199,6 +199,9 @@ def define_g(args: dict) -> nn.Module:
                       dropout=_p(netG, nt, 'dropout'),
                       use_global_residual=_p(netG, nt,
                                              'use_global_residual'),
+                      use_local_residual=netG.get(
+                          f'{safe_str_var(nt)}_use_local_residual',
+                          False),
                       net_task=netG.get('net_task',
                                         constants.REGRESSION),
                       dtype=dtype)

@@ -33,15 +33,50 @@ in one single-batch-dim dot_general + one softmax chain — per-op
 overhead dominates at these shapes), SRCACO2_SWIN_BWD_RS (flash-style
 backward variant, measured slower), SRCACO2_SWIN_IB_ROWS /
 SRCACO2_SWIN_VMEM_MB (images-per-program tuning),
-SRCACO2_SWIN_BWD_ABLATE (component timing ablations for perf_ab.py).
+SRCACO2_SWIN_BWD_ABLATE (component timing ablations for perf_ab.py),
+SRCACO2_SWIN_F32_SOFTMAX (restore torch-autocast-style f32 softmax
+under bf16 AMP, so quality regressions can be bisected against the
+bf16-softmax numerics independently of everything else).
+
+All knobs are snapshot into a hashable `_Cfg` at `fused_swin_block`
+call time and baked into the op's identity (`_make_block_op` lru
+key), so toggling an env var within one process yields a NEW compiled
+executable instead of silently reusing a stale jit cache entry.
 """
 import functools
+import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+class _Cfg(NamedTuple):
+    """Trace-time kernel variant knobs (part of the op cache key)."""
+    heads_batched: bool = True
+    bwd_rs: bool = False
+    ablate: frozenset = frozenset()
+    f32_softmax: bool = False
+    ib_rows: int = 512
+    vmem_mb: Optional[float] = None
+
+
+def _env_cfg() -> _Cfg:
+    vm = os.environ.get('SRCACO2_SWIN_VMEM_MB')
+    return _Cfg(
+        heads_batched=os.environ.get('SRCACO2_SWIN_HEADS_BATCHED',
+                                     '1') != '0',
+        bwd_rs=bool(os.environ.get('SRCACO2_SWIN_BWD_RS')),
+        ablate=frozenset(
+            x for x in os.environ.get('SRCACO2_SWIN_BWD_ABLATE',
+                                      '').split(',') if x),
+        f32_softmax=os.environ.get('SRCACO2_SWIN_F32_SOFTMAX',
+                                   '0') != '0',
+        ib_rows=int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512')),
+        vmem_mb=float(vm) if vm else None)
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9
@@ -199,9 +234,6 @@ def _dotg(a, b, dims, cdt, out=jnp.float32):
 _QK = (((2,), (2,)), ((0,), (0,)))    # (b,i,d)x(b,j,d) -> (b,i,j)
 _PV = (((2,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,j,d) -> (b,i,d)
 _PT = (((1,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,i,d) -> (b,j,d)
-def _heads_batched() -> bool:
-    import os
-    return os.environ.get('SRCACO2_SWIN_HEADS_BATCHED', '1') != '0'
 
 
 def _split_heads(z, ib, t, c, heads, start):
@@ -223,19 +255,22 @@ def _merge_heads(z3, ib, t, c, heads):
                             for h in range(heads)], axis=-1)
 
 
-def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
+def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt, cfg,
               with_probs=False):
     """qkv: (ib*t, 3c) cdt, q columns PRE-SCALED by hd**-0.5 (folded
     into the qkv weights outside the kernel). Softmax division is
     deferred to the (t, hd) output — one (t, t) VPU pass saved.
 
-    The whole (t, t) score/softmax chain runs in cdt (bf16 under AMP
-    training — the (ib, t, t) VPU passes are the kernel's single
-    largest cost class) with the row-sum reduced in f32; bias_ref is
-    already cdt. bf16's exponent range covers the -1e9 mask. Returns
-    O (ib*t, c) cdt and per-head residuals for the backward."""
+    The whole (t, t) score/softmax chain runs in sdt — cdt (bf16 under
+    AMP training — the (ib, t, t) VPU passes are the kernel's single
+    largest cost class) by default, f32 when cfg.f32_softmax restores
+    torch-autocast numerics — with the row-sum reduced in f32;
+    bias_ref is pre-cast to sdt. bf16's exponent range covers the
+    -1e9 mask. Returns O (ib*t, c) cdt and per-head residuals for the
+    backward."""
     hd = c // heads
-    if _heads_batched():
+    sdt = jnp.float32 if cfg.f32_softmax else cdt
+    if cfg.heads_batched:
         # ONE batched dot_general / softmax chain for all heads:
         # per-op fixed overhead (Mosaic runs the kernel body op by op)
         # dominates at these shapes, so 6x fewer (t, t) ops wins even
@@ -247,7 +282,7 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
         # over images without materializing a (h*ib, t, t) copy; the
         # dots see the merged single batch dim.
         s = _dotg(q, k, _QK, cdt).reshape(heads, ib, t, t)
-        s = s.astype(cdt) + bias_ref[:][:, None]
+        s = s.astype(sdt) + bias_ref[:][:, None]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m).reshape(heads * ib, t, t)  # (h*ib, t, t)
         r = jnp.sum(e, axis=-1, keepdims=True,
@@ -262,9 +297,9 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
         k = qkv[:, c + h * hd:c + (h + 1) * hd].reshape(ib, t, hd)
         v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(
             ib, t, hd)
-        s = _dotg(q, k, _QK, cdt).astype(cdt) + bias_ref[h][None]
+        s = _dotg(q, k, _QK, cdt).astype(sdt) + bias_ref[h][None]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)                                 # (ib,t,t) cdt
+        e = jnp.exp(s - m)                                 # (ib,t,t) sdt
         r = jnp.sum(e, axis=-1, keepdims=True,
                     dtype=jnp.float32)                     # (ib,t,1)
         rinv = 1.0 / r
@@ -276,7 +311,7 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
 
 
 def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt,
-                    need_out=True):
+                    cfg=_Cfg(), need_out=True):
     """Forward math shared by the fwd kernel and the bwd recompute.
     x: (ib*t, c) f32 residual stream; large intermediates are stored in
     cdt (bf16 in training) to halve VMEM traffic — Mosaic executes each
@@ -288,7 +323,7 @@ def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt,
     y, xhat1, rstd1 = _ln(x, g1[:], b1[:])
     yc = y.astype(cdt)
     qkv = _dot(yc, wqkv[:], cdt).astype(cdt) + bqkv[:]
-    o, saved = _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt,
+    o, saved = _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt, cfg,
                          with_probs=True)
     a = _dot(o, wproj[:], cdt) + bproj[:]
     x2 = x + a
@@ -309,12 +344,12 @@ def _block_fwd_math(x, refs, bias_ref, ib, t, c, heads, cdt,
 
 
 def _fwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
-                bm1, w2, bm2, bias_ref, out_ref, *, heads, cdt):
+                bm1, w2, bm2, bias_ref, out_ref, *, heads, cdt, cfg):
     ib, t, c = x_ref.shape
     x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
     refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
     out, _ = _block_fwd_math(x, refs, bias_ref, ib, t, c, heads,
-                             cdt)
+                             cdt, cfg)
     out_ref[:] = out.reshape(ib, t, c).astype(out_ref.dtype)
 
 
@@ -331,11 +366,9 @@ def _ln_bwd(dy, g, xhat, rstd):
 def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
                 bm1, w2, bm2, bias_ref, dout_ref,
                 dx_ref, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2,
-                db2, dw1, dbm1, dw2, dbm2, dbias, *, heads, cdt):
-    import os
+                db2, dw1, dbm1, dw2, dbm2, dbias, *, heads, cdt, cfg):
     # measurement-only ablations (perf_ab.py); never set in production
-    _abl = frozenset(os.environ.get('SRCACO2_SWIN_BWD_ABLATE',
-                                    '').split(','))
+    _abl = cfg.ablate
     ib, t, c = x_ref.shape
     hd = c // heads
     accs = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1,
@@ -349,7 +382,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
     refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
     _, it = _block_fwd_math(x, refs, bias_ref, ib, t, c, heads,
-                            cdt, need_out=False)
+                            cdt, cfg, need_out=False)
 
     g = dout_ref[:].reshape(ib * t, c).astype(jnp.float32)
     acc_w = 'dw' not in _abl
@@ -380,7 +413,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
                              cdt)
         dbproj[...] += jnp.sum(dx2, axis=0, keepdims=True)
     do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
-    if _heads_batched() and 'attnbwd' not in _abl:
+    if cfg.heads_batched and 'attnbwd' not in _abl:
         # all-heads batched attention backward (see _attn_fwd note)
         q, k, v, e, rinv = it['saved']
         do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
@@ -413,7 +446,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
         dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
         return
     # attention backward, per head
-    rs_identity_bwd = bool(os.environ.get('SRCACO2_SWIN_BWD_RS'))
+    rs_identity_bwd = cfg.bwd_rs
     dqs, dks, dvs = [], [], []
     heads_iter = () if 'attnbwd' in _abl else range(heads)
     for h in heads_iter:
@@ -471,12 +504,10 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
 # -----------------------------------------------------------------
 
 
-def _pick_img_blk(b: int, t: int) -> int:
+def _pick_img_blk(b: int, t: int, rows: int = 512) -> int:
     """Images per grid step: keep the per-program working set well
-    under VMEM (~16MB) while giving matmuls >= 512 rows.
-    SRCACO2_SWIN_IB_ROWS overrides the row target for tuning."""
-    import os
-    rows = int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512'))
+    under VMEM (~16MB) while giving matmuls >= `rows` rows
+    (cfg.ib_rows overrides the row target for tuning)."""
     target = max(1, rows // t)
     ib = min(b, target)
     while b % ib:
@@ -484,15 +515,14 @@ def _pick_img_blk(b: int, t: int) -> int:
     return ib
 
 
-def _compiler_params():
-    """Optional scoped-VMEM ceiling override (bytes) for tuning larger
-    images-per-program blocks; Mosaic's default scope is 16MB."""
-    import os
-    mb = os.environ.get('SRCACO2_SWIN_VMEM_MB')
-    if not mb:
+def _compiler_params(cfg):
+    """Optional scoped-VMEM ceiling override (bytes, cfg.vmem_mb) for
+    tuning larger images-per-program blocks; Mosaic's default scope is
+    16MB."""
+    if not cfg.vmem_mb:
         return None
     return pltpu.CompilerParams(
-        vmem_limit_bytes=int(float(mb) * 2 ** 20))
+        vmem_limit_bytes=int(cfg.vmem_mb * 2 ** 20))
 
 
 def _weight_specs(shapes):
@@ -506,31 +536,40 @@ def _w_shapes(c, ch, nh, t):
             (nh, t, t)]
 
 
-_CDT_IDX = (2, 3, 4, 8, 9, 10, 12)   # wqkv bqkv wproj w1 bm1 w2 bias
+_CDT_IDX = (2, 3, 4, 8, 9, 10)       # wqkv bqkv wproj w1 bm1 w2
+_BIAS_IDX = 12
 
 
-def _cast_wb(wb, cdt):
+def _cast_wb(wb, cdt, cfg):
     """Cast the weights consumed in cdt math ONCE at the XLA level, so
     the kernel body doesn't re-convert VMEM-resident f32 weights in
     every grid program (32 programs x 36 blocks of redundant casts).
-    LN params and the f32-residual biases (bproj, bm2) stay f32."""
-    return tuple(w.astype(cdt) if i in _CDT_IDX else w
-                 for i, w in enumerate(wb))
+    LN params and the f32-residual biases (bproj, bm2) stay f32; the
+    attention bias follows the softmax dtype (cdt, or f32 under
+    cfg.f32_softmax)."""
+    return tuple(
+        w.astype(cdt) if i in _CDT_IDX
+        else (w if cfg.f32_softmax else w.astype(cdt))
+        if i == _BIAS_IDX else w
+        for i, w in enumerate(wb))
 
 
 @functools.lru_cache(maxsize=None)
-def _make_block_op(heads: int, interpret: bool, cdt):
+def _make_block_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
     """Returns fused_block(x, *ws, bias) with custom VJP.
     x: (B, T, C) activation dtype; weights f32 as (1,n)/(m,n) 2-D;
-    bias: (nh, T, T) f32. Gradients: dx in x.dtype, weights f32."""
+    bias: (nh, T, T) f32. Gradients: dx in x.dtype, weights f32.
+    cfg is part of the lru key: every knob combination is a distinct
+    op (and therefore a distinct jit cache entry)."""
 
     def call_fwd(x, *wb):
         b, t, c = x.shape
-        ib = _pick_img_blk(b, t)
+        ib = _pick_img_blk(b, t, cfg.ib_rows)
         ch = wb[8].shape[1]
         grid = (b // ib,)
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, heads=heads, cdt=cdt),
+            functools.partial(_fwd_kernel, heads=heads, cdt=cdt,
+                              cfg=cfg),
             out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
             grid=grid,
             in_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
@@ -538,9 +577,9 @@ def _make_block_op(heads: int, interpret: bool, cdt):
             + _weight_specs(_w_shapes(c, ch, heads, t)),
             out_specs=pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(cfg),
             interpret=interpret,
-        )(x, *_cast_wb(wb, cdt))
+        )(x, *_cast_wb(wb, cdt, cfg))
 
     @jax.custom_vjp
     def fused_block(x, *wb):
@@ -552,12 +591,13 @@ def _make_block_op(heads: int, interpret: bool, cdt):
     def bwd(res, dout):
         x, *wb = res
         b, t, c = x.shape
-        ib = _pick_img_blk(b, t)
+        ib = _pick_img_blk(b, t, cfg.ib_rows)
         ch = wb[8].shape[1]
         grid = (b // ib,)
         w_shapes = _w_shapes(c, ch, heads, t)
         outs = pl.pallas_call(
-            functools.partial(_bwd_kernel, heads=heads, cdt=cdt),
+            functools.partial(_bwd_kernel, heads=heads, cdt=cdt,
+                              cfg=cfg),
             out_shape=[jax.ShapeDtypeStruct((b, t, c), x.dtype)]
             + [jax.ShapeDtypeStruct(s, jnp.float32)
                for s in w_shapes],
@@ -570,9 +610,9 @@ def _make_block_op(heads: int, interpret: bool, cdt):
             out_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)]
             + _weight_specs(w_shapes),
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(cfg),
             interpret=interpret,
-        )(x, *_cast_wb(wb, cdt), dout)
+        )(x, *_cast_wb(wb, cdt, cfg), dout)
         return tuple(outs)
 
     fused_block.defvjp(fwd, bwd)
@@ -597,9 +637,11 @@ def fused_swin_block(x, params, bias, *, heads: int,
     ln1_scale, ln1_bias (C,), qkv_kernel (C,3C), qkv_bias (3C,),
     proj_kernel (C,C), proj_bias (C,), ln2_scale, ln2_bias (C,),
     mlp1_kernel (C,Ch), mlp1_bias (Ch,), mlp2_kernel (Ch,C),
-    mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias."""
+    mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias.
+    Env knobs are snapshot here (see module docstring) and baked into
+    the op identity."""
     op = _make_block_op(heads, interpret,
-                        jnp.dtype(compute_dtype))
+                        jnp.dtype(compute_dtype), _env_cfg())
     f32 = jnp.float32
 
     def v(name):
@@ -643,6 +685,9 @@ def swin_block_ref(x, params, bias, *, heads: int,
 
     rr = tuple(_R(a) for a in refs)
     xf = x.reshape(b * t, c).astype(f32)
-    out, _ = _block_fwd_math(xf, rr, _R(bias.astype(f32)), b, t, c,
-                             heads, jnp.dtype(compute_dtype))
+    cfg = _env_cfg()
+    bias_c = bias.astype(f32 if cfg.f32_softmax
+                         else jnp.dtype(compute_dtype))
+    out, _ = _block_fwd_math(xf, rr, _R(bias_c), b, t, c,
+                             heads, jnp.dtype(compute_dtype), cfg)
     return out.reshape(b, t, c).astype(x.dtype)

@@ -26,7 +26,7 @@ torch = pytest.importorskip('torch')
 from srcaco2_tpu import constants
 from srcaco2_tpu.config.defaults import get_config
 from srcaco2_tpu.models.registry import define_g
-from srcaco2_tpu.diagnosis.torch_port import (port_grl,
+from srcaco2_tpu.diagnosis.torch_port import (port_dbpn, port_grl,
                                               port_state_dict,
                                               port_swinir,
                                               torch_named_params)
@@ -54,7 +54,10 @@ def build_ref(args):
     for k, v in list(netG.items()):
         if k.startswith(lo + '_'):
             netG[up + k[len(lo):]] = v
-    return define_G(SimpleNamespace(netG=netG, is_train=False))
+    return define_G(SimpleNamespace(
+        netG=netG, is_train=False,
+        color_min=args.get('color_min', 0),
+        color_max=args.get('color_max', 255)))
 
 
 def both_outputs(net_type, shrink=None, in_hw=16, overrides=None,
@@ -154,12 +157,18 @@ def test_nlsn_stochastic_envelope():
 
 
 def test_dbpn():
-    # remat-free init: the remat lift canonicalizes (sorts) the param
-    # dict, breaking the creation-order zip the port relies on; the
-    # math is identical either way.
+    # port_dbpn enforces remat_blocks=False (the remat lift sorts the
+    # param dict, breaking the creation-order zip; the math is
+    # identical either way — see torch_port.py module docstring).
     assert_close(*both_outputs(
-        constants.DBPN, shrink={'dbpn_remat_blocks': False}),
+        constants.DBPN, shrink={'dbpn_remat_blocks': False},
+        porter=lambda tp, fp: port_dbpn(tp, fp, remat_blocks=False)),
         rtol=3e-5)
+
+
+def test_dbpn_port_guard():
+    with pytest.raises(ValueError, match='remat_blocks=False'):
+        port_dbpn([], {}, remat_blocks=True)
 
 
 def test_mslapsr():
@@ -298,6 +307,51 @@ def test_omnisr():
     partition."""
     assert_close(*both_outputs(constants.OMNISR, porter=_port_omnisr),
                  rtol=3e-4)
+
+
+def test_csrcnn_unet():
+    """CSR-CNN default sub-type: the DWDN-style UNet
+    (network_unet2.py:80). Both sides consume the bicubic pre-upscaled
+    input (model_plain.py:186), so outputs compare at input size.
+    Found + fixed: Deconv k3/output_padding=1 (ours used k4)."""
+    assert_close(*both_outputs(
+        constants.CSRCNN, shrink={'csrcnn_in_planes': 1}), rtol=3e-5)
+
+
+def test_csrcnn_pyramid():
+    """CSR-CNN 'pyramid' sub-type: the X2 deconv net
+    (network_deconv.py:78) on the raw LR."""
+    assert_close(*both_outputs(
+        constants.CSRCNN, shrink={'csrcnn_in_planes': 1,
+                                  'csrcnn_net_type':
+                                  constants.NET_TYPE_PYRAMID}),
+        rtol=3e-5)
+
+
+def test_csrcnn_snet():
+    """CSR-CNN small grouped-conv variant (ConstrainedSupResCnn,
+    network_csr_cnn.py:132) with reflect-padded k3 input conv. The
+    reference's internal bicubic re-upscale of the already-upscaled
+    input (the documented 'snet' double-upscale quirk, PARITY.md) is
+    neutralized by setting upscale=1 so the conv-stack weights port
+    verifiably; the quirk itself stays documented as a deliberate
+    deviation."""
+    assert_close(*both_outputs(
+        constants.CSRCNN,
+        shrink={'csrcnn_in_planes': 1,
+                'csrcnn_net_type': 'snet_type3',
+                'csrcnn_upscale': 1}), rtol=3e-5)
+
+
+def test_csrcnn_snet_local_residual():
+    """snet with use_local_residual=True exercises the per-layer
+    match_sz 1x1 shortcut convs (network_csr_cnn.py:85-92)."""
+    assert_close(*both_outputs(
+        constants.CSRCNN,
+        shrink={'csrcnn_in_planes': 1,
+                'csrcnn_net_type': 'snet_type2',
+                'csrcnn_upscale': 1,
+                'csrcnn_use_local_residual': True}), rtol=3e-5)
 
 
 def test_enlcn_stochastic_envelope():
