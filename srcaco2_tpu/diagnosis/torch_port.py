@@ -103,6 +103,56 @@ def port_state_dict(torch_params: List[Tuple[str, np.ndarray]],
     return unflatten_dict(out)
 
 
+def port_dsr_splines(torch_params: List[Tuple[str, np.ndarray]],
+                     flax_params: Dict) -> Dict:
+    """Stacked-layout port for DSR-Splines: the reference builds one
+    small _SplineNet module PER knot interval
+    (network_dsr_splines.py:102, `splines.{s}.model.{l}.conv.*`) while
+    this framework runs all S branches as ONE vmapped network whose
+    every kernel carries a leading (S,) axis (models/dsr_splines.py).
+    Same transpose+stack approach as port_swinir: for each flax leaf
+    (in creation order, which matches the per-spline torch
+    registration order), relayout the S per-spline torch tensors and
+    stack them along the new leading axis."""
+    arrs = {n: np.asarray(a) for n, a, *_ in torch_params}
+    n_s = 1 + max(int(n.split('.')[1]) for n in arrs
+                  if n.startswith('splines.'))
+    # flax Conv_{i} indices follow execution order, which matches the
+    # torch registration order of spline 0's conv modules — but the
+    # vmap lift canonicalizes (sorts) the param dict, so match by
+    # NAME, not position.
+    mods = []
+    for n, _a, *_k in torch_params:
+        if n.startswith('splines.0.'):
+            mod = n[len('splines.0.'):].rsplit('.', 1)[0]
+            if mod not in mods:
+                mods.append(mod)
+    conv_of = {f'Conv_{i}': m for i, m in enumerate(mods)}
+    leaf_of = {'kernel': 'weight', 'bias': 'bias'}
+    flat = flatten_dict(flax_params)
+    if len(flat) != len(mods) * 2:
+        raise ValueError(
+            f'param count mismatch: torch per-spline {len(mods)} convs '
+            f'vs flax {len(flat)} leaves\n{mods}\n'
+            f'{["/".join(k) for k in flat]}')
+    out = {}
+    for key in flat:
+        mod = conv_of[key[-2]]
+        suffix = f'{mod}.{leaf_of[key[-1]]}'
+        want = tuple(flat[key].shape[1:])
+        stack = []
+        for s in range(n_s):
+            a = arrs[f'splines.{s}.{suffix}']
+            fn = _fits(tuple(a.shape), want)
+            if fn is None:
+                raise ValueError(
+                    f'shape mismatch splines.{s}.{suffix} '
+                    f'{tuple(a.shape)} -> {"/".join(key)} (S,){want}')
+            stack.append(fn(a))
+        out[key] = jnp.asarray(np.stack(stack), flat[key].dtype)
+    return unflatten_dict(out)
+
+
 def port_dbpn(torch_params: List[Tuple[str, np.ndarray]],
               flax_params: Dict, remat_blocks: bool) -> Dict:
     """Order-based DBPN port with the remat guard (see module

@@ -47,8 +47,14 @@ class _SplineNet(nn.Module):
     def __call__(self, x):
         def layer(z, out_c, k, act):
             pad = (k - 1) // 2
-            y = nn.Conv(out_c, (k, k), padding=[(pad, pad), (pad, pad)],
-                        dtype=self.dtype)(z)
+            zin = z
+            if pad:
+                # reference _full_conv uses padding_mode='reflect'
+                # (network_dsr_splines.py:24)
+                zin = jnp.pad(z, ((0, 0), (pad, pad), (pad, pad),
+                                  (0, 0)), mode='reflect')
+            y = nn.Conv(out_c, (k, k), padding='VALID',
+                        dtype=self.dtype)(zin)
             if self.use_local_residual:
                 y = nn.relu(y)
                 if z.shape[-1] != out_c:

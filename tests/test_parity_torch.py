@@ -26,7 +26,9 @@ torch = pytest.importorskip('torch')
 from srcaco2_tpu import constants
 from srcaco2_tpu.config.defaults import get_config
 from srcaco2_tpu.models.registry import define_g
-from srcaco2_tpu.diagnosis.torch_port import (port_dbpn, port_grl,
+from srcaco2_tpu.diagnosis.torch_port import (port_dbpn,
+                                              port_dsr_splines,
+                                              port_grl,
                                               port_state_dict,
                                               port_swinir,
                                               torch_named_params)
@@ -352,6 +354,32 @@ def test_csrcnn_snet_local_residual():
                 'csrcnn_net_type': 'snet_type2',
                 'csrcnn_upscale': 1,
                 'csrcnn_use_local_residual': True}), rtol=3e-5)
+
+
+def test_dsr_splines():
+    """DSR-Splines via the stacked-layout porter (port_dsr_splines):
+    the reference's per-knot _SplineNet modules
+    (network_dsr_splines.py:102) stack onto this framework's vmapped
+    (S,)-leading parameter bank. Found + fixed: zero (not reflect)
+    padding on the k3 input conv."""
+    assert_close(*both_outputs(
+        constants.DSRSPLINES,
+        shrink={'dsrsplines_in_planes': 1,
+                'dsrsplines_n_splines_per_color': 4},
+        porter=port_dsr_splines), rtol=3e-5)
+
+
+def test_dsr_splines_residuals():
+    """Residual variants: tanh head + global bicubic residual, and the
+    per-layer match_sz shortcuts."""
+    assert_close(*both_outputs(
+        constants.DSRSPLINES,
+        shrink={'dsrsplines_in_planes': 1,
+                'dsrsplines_n_splines_per_color': 3,
+                'dsrsplines_splinenet_type': 'snet_type2',
+                'dsrsplines_use_global_residual': True,
+                'dsrsplines_use_local_residual': True},
+        porter=port_dsr_splines), rtol=3e-5)
 
 
 def test_enlcn_stochastic_envelope():
