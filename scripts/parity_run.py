@@ -84,6 +84,10 @@ def main():
     ap.add_argument('--tag', default='',
                     help='suffix for the output yaml name')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--amp', default=None,
+                    help='True/False: bf16 AMP training (the fused-vs-'
+                         'windowed numerics A/B runs under AMP, where '
+                         'the bf16-softmax deviation lives)')
     ns = ap.parse_args()
 
     from srcaco2_tpu.data import build_scripts as B
@@ -131,6 +135,8 @@ def main():
                 '--G_scheduler_min_lr', str(ns.lr / 16)]
     if ns.fused is not None:
         cmd += ['--swinir_use_fused_blocks', ns.fused]
+    if ns.amp is not None:
+        cmd += ['--amp', ns.amp]
     print('#', ' '.join(cmd))
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=root, env=env)
@@ -210,7 +216,7 @@ def main():
                    'lr': ns.lr, 'sched_step': ns.sched_step,
                    'clipgrad': ns.clipgrad, 'n_tiles': ns.n_tiles,
                    'seed': ns.seed, 'tiles': 'rich',
-                   'fused': ns.fused},
+                   'fused': ns.fused, 'amp': ns.amp},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},
         'trained_test': {k: scalars(v) for k, v in trained.items()},
