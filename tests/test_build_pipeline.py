@@ -131,3 +131,52 @@ def test_registration_recovers_global_shift():
     hr_c = hr[:, 8:-8, 8:-8]
     err_before = np.abs(before.astype(int) - hr_c.astype(int)).mean()
     assert err_after < 0.6 * err_before, (err_after, err_before)
+
+
+def test_pyramid_flow_recovers_nonuniform_warp():
+    """A smooth NON-UNIFORM flow (sinusoidal, locally varying, +-3 px)
+    is recovered sub-pixel by the iterative pyramid warp-and-refine
+    (_block_flow_refine) where the legacy single-pass 4x4 block flow
+    is not — the endpoint-error comparison from VERDICT r2 #5."""
+    from srcaco2_tpu.data.synthetic import rich_cell_tile
+    rng = np.random.default_rng(7)
+    ref = rich_cell_tile(rng, 256, 'CELL1').astype(np.float64) / 255.0
+    h, w = ref.shape
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    v_true = 3.0 * np.sin(2 * np.pi * xx / w) \
+        + 1.5 * np.cos(2 * np.pi * yy / h)
+    u_true = -2.0 * np.cos(2 * np.pi * yy / h) \
+        + 1.0 * np.sin(2 * np.pi * xx / w)
+    # observed image: ref deformed so that warping img by (v_true,
+    # u_true) maps it back onto ref (inverse-map convention)
+    img = B._warp_f(ref, -v_true, -u_true)
+
+    inner = (slice(16, -16), slice(16, -16))  # skip warp borders
+
+    def epe(v, u):
+        return float(np.hypot(v - v_true, u - u_true)[inner].mean())
+
+    v1, u1 = B._block_flow(ref, img)                    # single-pass
+    vp, up = B._block_flow_refine(ref, img)             # pyramid
+    e_single, e_pyr = epe(v1, u1), epe(vp, up)
+    assert e_pyr < 0.5, (e_single, e_pyr)               # sub-pixel
+    assert e_pyr < 0.5 * e_single, (e_single, e_pyr)    # clear win
+
+
+def test_phase_correlation_subpixel():
+    """Parabolic peak refinement recovers fractional translations to
+    <0.25 px where the integer peak is off by up to 0.5 px."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (96, 96))
+    from scipy.ndimage import fourier_shift, gaussian_filter
+    base = gaussian_filter(base, 2.0)
+    shift = (1.6, -2.3)
+    shifted = np.fft.ifft2(fourier_shift(np.fft.fft2(base),
+                                         shift)).real
+    dy, dx = B.phase_correlation_shift(base, shifted)
+    # aligning b back onto a: the recovered displacement is -shift
+    assert abs(dy + shift[0]) < 0.25 and abs(dx + shift[1]) < 0.25, \
+        (dy, dx)
+    dyi, dxi = B.phase_correlation_shift(base, shifted,
+                                         subpixel=False)
+    assert float(dyi) == int(dyi) and float(dxi) == int(dxi)
