@@ -7,9 +7,24 @@ with Local Implicit Image Function") with the dispatch signature's flags
 (local_ensemble / feat_unfold / cell_decode all True) and an EDSR
 backbone (16 resblocks, 64 feats, res_scale 1, no upsampling head).
 
-TPU notes: the HR query grid is static per shape, so the latent gather is
-a batched take-along-axis and the 4-way local ensemble unrolls into four
-gathers + one fused MLP over (B, H*W*4) query tokens — all MXU matmuls.
+TPU-first decoder layout (exact LIIF math, reorganized for the MXU):
+
+  * The decoder's FIRST layer is linear in [unfold(feat), rel, cell],
+    and the per-query latent gather is per-position, so
+    W_f @ gather(unfold(feat)) == gather(conv3x3(feat; W_f)): the 9xC
+    feat_unfold concat + first matmul run ONCE in LR space as a 3x3
+    convolution (edge-padded like the unfold), dividing the
+    first-layer FLOPs by upscale^2 and shrinking the 4 ensemble
+    gathers from 9C to `hidden` channels.
+  * rel/cell are query-grid constants shared across the batch; their
+    first-layer contribution is a tiny (4 -> hidden) matmul computed
+    once per ensemble branch at (hh, wh, hidden) and broadcast.
+  * The remaining MLP tail runs as ONE call over the 4 stacked
+    ensemble branches ((4B, hh, wh, hidden) query tokens) instead of
+    4 sequential calls.
+
+tests/test_models_zoo2.py::test_edsr_liif_factored_decoder_exact
+verifies the factorization against the naive unfold+concat decoder.
 """
 from typing import Any
 
@@ -41,16 +56,18 @@ class EDSREncoder(nn.Module):
         return y + res
 
 
-class LIIFDecoder(nn.Module):
-    """5-layer 256-wide MLP on [latent(+unfold), rel coords, cell]."""
+class LIIFDecoderTail(nn.Module):
+    """Decoder layers 2..5 (the first layer is factored into LR-space
+    conv + rel/cell matmul, see module docstring). Input is already
+    pre-activation of layer 1."""
     hidden: int = 256
     out_dim: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats):
-        y = feats
-        for _ in range(4):
+    def __call__(self, pre1):
+        y = nn.relu(pre1)
+        for _ in range(3):
             y = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(y))
         return nn.Dense(self.out_dim, dtype=self.dtype)(y)
 
@@ -64,6 +81,7 @@ class EDSRLIIF(nn.Module):
     local_ensemble: bool = True
     feat_unfold: bool = True
     cell_decode: bool = True
+    hidden: int = 256
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,69 +90,70 @@ class EDSRLIIF(nn.Module):
         b, hl, wl, _ = y.shape
         feat = EDSREncoder(self.n_feats, self.n_resblocks,
                            self.res_scale, dtype=self.dtype)(y)
-        c = self.n_feats
+
+        # first decoder layer, latent part: conv == W_f @ unfold(feat)
+        # (edge pad matches the unfold's edge-replicated borders).
         if self.feat_unfold:
-            # 3x3 neighborhood concat -> C*9
             fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)),
                          mode='edge')
-            neigh = [fp[:, 1 + dy:1 + dy + hl, 1 + dx:1 + dx + wl]
-                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-            feat = jnp.concatenate(neigh, axis=-1)
-            c = c * 9
+            z = nn.Conv(self.hidden, (3, 3), padding='VALID',
+                        dtype=self.dtype, name='dec_feat')(fp)
+        else:
+            z = nn.Conv(self.hidden, (1, 1), padding='VALID',
+                        dtype=self.dtype, name='dec_feat')(feat)
 
         s = self.upscale
         hh, wh = hl * s, wl * s
-        # HR query coords in [-1,1] (cell centers), LR latent coords too.
         yq = (np.arange(hh) + 0.5) / hh * 2 - 1
         xq = (np.arange(wh) + 0.5) / wh * 2 - 1
         yl = (np.arange(hl) + 0.5) / hl * 2 - 1
         xl = (np.arange(wl) + 0.5) / wl * 2 - 1
-        ry = 1.0 / hl   # half latent cell in [-1,1] units = 1/hl
-        rx = 1.0 / wl
 
-        # nearest latent index for each query along each axis
         iy0 = np.clip(((yq + 1) / 2 * hl - 0.5), 0, hl - 1)
         ix0 = np.clip(((xq + 1) / 2 * wl - 0.5), 0, wl - 1)
 
         offsets = [(-1, -1), (-1, 1), (1, -1), (1, 1)] \
             if self.local_ensemble else [(0, 0)]
-        decoder = LIIFDecoder(256, self.in_chans, dtype=self.dtype,
-                              name='decoder')   # shared across ensemble
-        preds = []
-        areas = []
-        cell = np.array([2.0 / hh, 2.0 / wh], np.float32)
+        # first-layer rel(+cell) part: (2 or 4) -> hidden, bias-free
+        # (dec_feat's bias already covers the layer bias)
+        rc_dim = 4 if self.cell_decode else 2
+        dense_rc = nn.Dense(self.hidden, use_bias=False,
+                            dtype=self.dtype, name='dec_relcell')
+        tail = LIIFDecoderTail(self.hidden, self.in_chans,
+                               dtype=self.dtype, name='decoder')
+        cell = np.array([2.0 / hh * hl, 2.0 / wh * wl], np.float32)
+
+        pre1s, areas = [], []
         for vy, vx in offsets:
             iy = np.clip(np.round(iy0 + vy * 0.5), 0,
                          hl - 1).astype(np.int32)
             ix = np.clip(np.round(ix0 + vx * 0.5), 0,
                          wl - 1).astype(np.int32)
-            lat = feat[:, iy][:, :, ix]                # B, hh, wh, C
-            lat_y = jnp.asarray(yl[iy], jnp.float32)
-            lat_x = jnp.asarray(xl[ix], jnp.float32)
-            rel_y = (jnp.asarray(yq, jnp.float32) - lat_y) * hl
-            rel_x = (jnp.asarray(xq, jnp.float32) - lat_x) * wl
-            rel = jnp.stack(jnp.meshgrid(rel_y, rel_x, indexing='ij'),
-                            axis=-1)                   # hh, wh, 2
-            rel_b = jnp.broadcast_to(rel[None], (b, hh, wh, 2)
-                                     ).astype(feat.dtype)
-            inp = [lat, rel_b]
+            lat = z[:, iy][:, :, ix]                  # B, hh, wh, hid
+            rel_y = (yq - yl[iy]) * hl
+            rel_x = (xq - xl[ix]) * wl
+            rel = np.stack(np.meshgrid(rel_y, rel_x, indexing='ij'),
+                           axis=-1).astype(np.float32)  # hh, wh, 2
+            rc = rel
             if self.cell_decode:
-                cvec = jnp.asarray([cell[0] * hl, cell[1] * wl],
-                                   jnp.float32)
-                inp.append(jnp.broadcast_to(
-                    cvec[None, None, None], (b, hh, wh, 2)
-                ).astype(feat.dtype))
-            q = jnp.concatenate(inp, axis=-1)
-            pred = decoder(q)
-            preds.append(pred)
-            area = jnp.abs(rel[..., 0] / hl * rel[..., 1] / wl) + 1e-9
-            areas.append(area)
+                rc = np.concatenate(
+                    [rel, np.broadcast_to(cell, rel.shape)], -1)
+            rc_c = dense_rc(jnp.asarray(rc, self.dtype))  # hh, wh, hid
+            pre1s.append(lat + rc_c[None])
+            areas.append(np.abs(rel[..., 0] / hl * rel[..., 1] / wl)
+                         + 1e-9)
+
+        # ONE decoder-tail call over the stacked ensemble branches
+        stacked = jnp.concatenate(pre1s, axis=0)      # 4B, hh, wh, hid
+        out_all = tail(stacked)                       # 4B, hh, wh, out
+        preds = jnp.split(out_all, len(offsets), axis=0)
 
         if self.local_ensemble:
             # swap diagonal areas (LIIF trick) and normalize
             areas = [areas[3], areas[2], areas[1], areas[0]]
             tot = sum(areas)
-            out = sum(p * (a / tot)[None, ..., None]
+            out = sum(p * jnp.asarray((a / tot)[None, ..., None],
+                                      p.dtype)
                       for p, a in zip(preds, areas))
         else:
             out = preds[0]

@@ -74,6 +74,62 @@ def test_edsr_liif():
     assert out['out'].shape == (1, 1, 32, 32)
 
 
+def test_edsr_liif_factored_decoder_exact():
+    """The TPU decoder layout factors the first LIIF layer:
+    gather(unfold(feat)) @ W_f == gather(conv3x3(feat; W_f)) with
+    edge padding (models/edsr_liif.py module docstring). Verify the
+    identity numerically on random tensors."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    b, hl, wl, c, hid = 2, 5, 6, 3, 7
+    feat = jnp.asarray(rng.normal(0, 1, (b, hl, wl, c)),
+                       jnp.float32)
+    kernel = jnp.asarray(rng.normal(0, 1, (3, 3, c, hid)),
+                         jnp.float32)
+    # conv path (as the model computes it)
+    fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    z = jax.lax.conv_general_dilated(
+        fp, kernel, (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # naive path: unfold concat (dy, dx order) then matmul
+    neigh = [fp[:, 1 + dy:1 + dy + hl, 1 + dx:1 + dx + wl]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    unf = jnp.concatenate(neigh, axis=-1)            # b, hl, wl, 9c
+    w1 = jnp.concatenate([kernel[dy + 1, dx + 1]
+                          for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                         axis=0)                     # 9c, hid
+    z_naive = unf @ w1
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_naive),
+                               atol=1e-4)
+    # per-query gather commutes with the per-position matmul
+    iy = np.asarray([0, 0, 1, 2, 4, 4], np.int32)
+    ix = np.asarray([1, 3, 5, 0, 2, 2], np.int32)
+    g1 = z[:, iy][:, :, ix]
+    g2 = (unf[:, iy][:, :, ix]) @ w1
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4)
+
+
+def test_edsr_liif_constant_input_periodic():
+    """For a constant input, every decoder input (latent, rel, cell,
+    ensemble areas) is s-periodic over the interior query grid, so the
+    output must repeat with period s — a structural check of the
+    rel-coordinate / gather bookkeeping."""
+    from srcaco2_tpu.models.edsr_liif import EDSRLIIF
+    s = 2
+    m = EDSRLIIF(in_chans=1, upscale=s, n_feats=8, n_resblocks=1)
+    x = jnp.full((1, 1, 16, 16), 0.5, jnp.float32)
+    p = m.init(jax.random.key(1), x, train=False)['params']
+    o = m.apply({'params': p}, x, train=False)['out']
+    assert o.shape == (1, 1, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(o)))
+    # crop past the encoder+decoder receptive field (~6 LR px)
+    inner = o[0, 0, 12:-12, 12:-12]
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(inner[s:, s:]),
+                               np.asarray(inner[:-s, :-s]), atol=1e-4)
+
+
 def test_dsr_splines():
     from srcaco2_tpu.models.dsr_splines import DSRSplines
     m = DSRSplines(in_planes=1, upscale=2, n_splines_per_color=4,
