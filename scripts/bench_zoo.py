@@ -51,14 +51,26 @@ def main():
     key = jax.random.key(0)
 
     NETS = ns.nets.split(',') if ns.nets else [
-        constants.SRCNN, constants.VDSR, constants.DFCAN,
+        constants.SRCNN, constants.VDSR, constants.DRRN,
+        constants.MEMNET, constants.DFCAN,
         constants.NLSN, constants.ENLCN, constants.OMNISR,
-        constants.DBPN, constants.MSLAPSR, constants.PROSR,
-        constants.EDSR_LIIF, constants.SWINIR]
+        constants.DBPN, constants.SRFBN, constants.MSLAPSR,
+        constants.PROSR, constants.EDSR_LIIF, constants.ACT,
+        constants.GRL, constants.DSRSPLINES, constants.CSRCNN,
+        constants.SWINIR]
     # DBPN-MR64-3 x8 dense connectivity needs ~33GB of activations at
     # batch 64 on 128^2 outputs — past the 16GB chip even with
     # per-block remat; its hardware-supported batch here is <= 32.
-    BATCH_CAP = {constants.DBPN: 32}
+    # DRRN/MemNet recurse at HR size (25 and 6 recursions of shared
+    # convs); GRL runs 7 mixed-attention stages — HBM-capped likewise.
+    BATCH_CAP = {constants.DBPN: 32, constants.DRRN: 32,
+                 constants.MEMNET: 32, constants.GRL: 32}
+    # 512^2 full-image eval forward batch (HBM-bound for attention
+    # nets: NLSN's LSH one-hot is quadratic in token count at 64^2+).
+    EVAL_B = {constants.NLSN: 1, constants.ENLCN: 1, constants.GRL: 1,
+              constants.ACT: 1, constants.OMNISR: 2,
+              constants.SWINIR: 2, constants.DRRN: 2,
+              constants.MEMNET: 2, constants.DBPN: 2}
     rows = []
     for net in NETS:
         b = min(ns.batch, BATCH_CAP.get(net, ns.batch))
@@ -94,12 +106,36 @@ def main():
             float(holder['total'])
             dt = (time.perf_counter() - t0) / ns.steps
             pps = b / dt
+            # --- 512^2 full-image eval forward throughput
+            eb = EVAL_B.get(net, 4)
+            in_hw_ev = 512 if net in constants.PRE_UPSAMPLED_INPUT_NETS \
+                else 512 // scale
+            x_ev = jnp.asarray(
+                rng.random((eb, 1, in_hw_ev, in_hw_ev)), jnp.float32)
+            fwd = jax.jit(lambda p, xx: model.apply(
+                {'params': p}, xx, train=False)['out'])
+            ev_ips = None
+            try:
+                eparams = jax.tree.map(
+                    lambda a: a, state.params)  # current params
+                float(jnp.sum(fwd(eparams, x_ev)))      # compile+warm
+                t0 = time.perf_counter()
+                n_ev = max(3, ns.steps // 3)
+                for _ in range(n_ev):
+                    out_ev = fwd(eparams, x_ev)
+                float(jnp.sum(out_ev))
+                ev_ips = eb / ((time.perf_counter() - t0) / n_ev)
+            except Exception as ee:
+                print(f'{net:12s} eval FAILED {type(ee).__name__}: '
+                      f'{str(ee)[:120]}', flush=True)
             rows.append((net, round(pps), round(dt * 1e3, 1),
-                         round(compile_s, 1), b))
+                         round(compile_s, 1), b,
+                         round(ev_ips, 1) if ev_ips else None, eb))
             print(f'{net:12s} {pps:8.0f} patches/s  '
-                  f'{dt*1e3:7.1f} ms/step', flush=True)
+                  f'{dt*1e3:7.1f} ms/step  eval '
+                  f'{ev_ips or float("nan"):6.1f} img/s', flush=True)
         except Exception as e:
-            rows.append((net, None, None, None, b))
+            rows.append((net, None, None, None, b, None, None))
             print(f'{net:12s} FAILED {type(e).__name__}: '
                   f'{str(e)[:160]}', flush=True)
 
@@ -114,14 +150,17 @@ def main():
         f'the tunnel\'s process-level variance vs other documents. '
         f'Generated by scripts/bench_zoo.py.',
         '',
-        '| net | batch | patches/s | ms/step | compile (s) |',
-        '|---|---|---|---|---|',
+        '| net | batch | patches/s | ms/step | compile (s) '
+        '| eval 512² img/s (batch) |',
+        '|---|---|---|---|---|---|',
     ]
-    for net, pps, ms, cs, nb in rows:
+    for net, pps, ms, cs, nb, ev, eb in rows:
         if pps is None:
-            lines.append(f'| {net} | {nb} | (failed) | — | — |')
+            lines.append(f'| {net} | {nb} | (failed) | — | — | — |')
         else:
-            lines.append(f'| {net} | {nb} | {pps} | {ms} | {cs} |')
+            ev_s = f'{ev} ({eb})' if ev else '—'
+            lines.append(f'| {net} | {nb} | {pps} | {ms} | {cs} '
+                         f'| {ev_s} |')
     lines.append('')
     with open(ns.out, 'w') as f:
         f.write('\n'.join(lines))

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from srcaco2_tpu.ops.pallas.swin_block import (
-    MAX_T, LN_EPS, _gelu, build_attn_bias, fused_swin_block,
+    MAX_T, LN_EPS, _env_cfg, _gelu, build_attn_bias,
+    fused_swin_block, fused_swin_block_pair,
     full_attn_mask_and_index)
 from srcaco2_tpu.models.swinir import (relative_position_index,
                                        shift_attn_mask,
@@ -99,6 +100,26 @@ class FusedBlockStack(nn.Module):
         tok = x.reshape(b, t, c).astype(self.dtype)
         block_keys = [k for k in p if k != 'rel_pos_table']
 
+        stacked = {k: p[k] for k in block_keys}
+        if _env_cfg().pair and self.depth % 2 == 0:
+            # pair-fused: scan over (no-shift, shift) block pairs, one
+            # pallas_call per pair (SRCACO2_SWIN_PAIR=1)
+            def body2(carry, ws_bias):
+                wsl, bi = ws_bias     # leaves carry a leading 2-dim
+                y = fused_swin_block_pair(
+                    carry, {k: v[0] for k, v in wsl.items()}, bi[0],
+                    {k: v[1] for k, v in wsl.items()}, bi[1],
+                    heads=self.num_heads, interpret=interpret,
+                    compute_dtype=self.dtype)
+                return y, None
+
+            paired = jax.tree.map(
+                lambda v: v.reshape((self.depth // 2, 2)
+                                    + v.shape[1:]), stacked)
+            bias2 = bias.reshape((self.depth // 2, 2) + bias.shape[1:])
+            tok, _ = jax.lax.scan(body2, tok, (paired, bias2))
+            return tok.reshape(b, h, w, c)
+
         def body(carry, ws_bias):
             wsl, bi = ws_bias
             y = fused_swin_block(carry, wsl, bi, heads=self.num_heads,
@@ -106,7 +127,6 @@ class FusedBlockStack(nn.Module):
                                  compute_dtype=self.dtype)
             return y, None
 
-        stacked = {k: p[k] for k in block_keys}
         tok, _ = jax.lax.scan(body, tok, (stacked, bias))
         return tok.reshape(b, h, w, c)
 

@@ -62,6 +62,7 @@ class _Cfg(NamedTuple):
     f32_softmax: bool = False
     ib_rows: int = 512
     vmem_mb: Optional[float] = None
+    pair: bool = False
 
 
 def _env_cfg() -> _Cfg:
@@ -76,7 +77,8 @@ def _env_cfg() -> _Cfg:
         f32_softmax=os.environ.get('SRCACO2_SWIN_F32_SOFTMAX',
                                    '0') != '0',
         ib_rows=int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512')),
-        vmem_mb=float(vm) if vm else None)
+        vmem_mb=float(vm) if vm else None,
+        pair=os.environ.get('SRCACO2_SWIN_PAIR', '0') != '0')
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9
@@ -497,6 +499,190 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
         db1[...] += db1v
     dx = dx2 + dx_ln
     dx_ref[:] = dx.reshape(ib, t, c).astype(dx_ref.dtype)
+
+
+def _block_bwd_math(g, it, refs, ib, t, c, heads, cdt):
+    """Backward math of one block (heads-batched production path),
+    returning (dx, 13 weight grads) instead of accumulating into refs
+    — shared by the pair-fused backward kernel. Mirrors _bwd_kernel's
+    main branch exactly."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2,
+     bm2) = refs
+    # out = x2 + h @ W2 + bm2
+    dw2 = _dotg(it['hact'], g, (((0,), (0,)), ((), ())), cdt)
+    dbm2 = jnp.sum(g, axis=0, keepdims=True)
+    dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)
+    du = dh * _gelu_grad(it['u'], it['th'])
+    dw1 = _dotg(it['y2'], du, (((0,), (0,)), ((), ())), cdt)
+    dbm1 = jnp.sum(du, axis=0, keepdims=True)
+    dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)
+    dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'],
+                                 it['rstd2'])
+    dx2 = g + dx2_ln
+    # x2 = x + O @ Wp + bp
+    dwproj = _dotg(it['o'], dx2, (((0,), (0,)), ((), ())), cdt)
+    dbproj = jnp.sum(dx2, axis=0, keepdims=True)
+    do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)
+    q, k, v, e, rinv = it['saved']
+    do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
+    p = e * rinv.astype(e.dtype)
+    dp = _dotg(do4, v, _QK, cdt).astype(p.dtype)
+    dv = _dotg(p, do4, _PT, cdt)
+    rs = jnp.sum(dp * p, axis=-1, keepdims=True, dtype=jnp.float32)
+    ds = p * (dp - rs.astype(p.dtype))
+    dbias = jnp.sum(ds.reshape(heads, ib, t, t), axis=1,
+                    dtype=jnp.float32)
+    dq4 = _dotg(ds, k, _PV, cdt)
+    dk4 = _dotg(ds, q, _PT, cdt)
+    dqkv = jnp.concatenate(
+        [_merge_heads(z.astype(cdt), ib, t, c, heads)
+         for z in (dq4, dk4, dv)], axis=-1)
+    dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)
+    dwqkv = _dotg(it['y'], dqkv, (((0,), (0,)), ((), ())), cdt)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dx_ln, dg1v, db1v = _ln_bwd(dy, g1[:], it['xhat1'], it['rstd1'])
+    dx = dx2 + dx_ln
+    return dx, (dg1v, db1v, dwqkv, dbqkv, dwproj, dbproj, dg2v,
+                db2v, dw1, dbm1, dw2, dbm2, dbias)
+
+
+def _fwd_kernel_pair(x_ref, *args, heads, cdt, cfg):
+    """Two chained blocks (no-shift, shift) in ONE kernel: x is read
+    from HBM once and the intermediate stream never leaves VMEM.
+    args = 13 A-refs + 13 B-refs + out_ref."""
+    refs_a, bias_a = args[:12], args[12]
+    refs_b, bias_b = args[13:25], args[25]
+    out_ref = args[26]
+    ib, t, c = x_ref.shape
+    x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    out_a, _ = _block_fwd_math(x, refs_a, bias_a, ib, t, c, heads,
+                               cdt, cfg)
+    out_b, _ = _block_fwd_math(out_a, refs_b, bias_b, ib, t, c,
+                               heads, cdt, cfg)
+    out_ref[:] = out_b.reshape(ib, t, c).astype(out_ref.dtype)
+
+
+def _bwd_kernel_pair(x_ref, *args, heads, cdt, cfg):
+    """Pair backward: recompute A (with its output, B's input), then
+    B's intermediates, then chain the two backward passes in VMEM.
+    args = 13 A-refs + 13 B-refs + dout_ref, then outputs: dx_ref +
+    13 A-grad refs + 13 B-grad refs."""
+    refs_a, bias_a = args[:12], args[12]
+    refs_b, bias_b = args[13:25], args[25]
+    dout_ref = args[26]
+    dx_ref = args[27]
+    gacc_a = args[28:41]
+    gacc_b = args[41:54]
+    ib, t, c = x_ref.shape
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in gacc_a + gacc_b:
+            r[...] = jnp.zeros_like(r)
+
+    x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    out_a, it_a = _block_fwd_math(x, refs_a, bias_a, ib, t, c, heads,
+                                  cdt, cfg)
+    _, it_b = _block_fwd_math(out_a, refs_b, bias_b, ib, t, c, heads,
+                              cdt, cfg, need_out=False)
+    g = dout_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    dxb, grads_b = _block_bwd_math(g, it_b, refs_b, ib, t, c,
+                                   heads, cdt)
+    dxa, grads_a = _block_bwd_math(dxb, it_a, refs_a, ib, t, c,
+                                   heads, cdt)
+    for r, gv in zip(gacc_a, grads_a):
+        r[...] += gv
+    for r, gv in zip(gacc_b, grads_b):
+        r[...] += gv
+    dx_ref[:] = dxa.reshape(ib, t, c).astype(dx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_pair_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
+    """fused_pair(x, *wbA(13), *wbB(13)) -> out, with custom VJP.
+    Halves the pallas_call count (and the inter-block HBM round trip
+    of the activation stream) relative to per-block fusion. Production
+    (heads-batched) path only."""
+    assert cfg.heads_batched, 'pair kernel requires heads_batched'
+
+    def specs(b, t, c, ch):
+        w_shapes = _w_shapes(c, ch, heads, t)
+        ib = _pick_img_blk(b, t, cfg.ib_rows)
+        grid = (b // ib,)
+        act = pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        return w_shapes, ib, grid, act
+
+    def call_fwd(x, *wb):
+        b, t, c = x.shape
+        ch = wb[8].shape[1]
+        w_shapes, ib, grid, act = specs(b, t, c, ch)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_pair, heads=heads, cdt=cdt,
+                              cfg=cfg),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            grid=grid,
+            in_specs=[act] + _weight_specs(w_shapes) * 2,
+            out_specs=act,
+            compiler_params=_compiler_params(cfg),
+            interpret=interpret,
+        )(x, *_cast_wb(wb[:13], cdt, cfg), *_cast_wb(wb[13:], cdt,
+                                                     cfg))
+
+    @jax.custom_vjp
+    def fused_pair(x, *wb):
+        return call_fwd(x, *wb)
+
+    def fwd(x, *wb):
+        return call_fwd(x, *wb), (x,) + wb
+
+    def bwd(res, dout):
+        x, *wb = res
+        b, t, c = x.shape
+        ch = wb[8].shape[1]
+        w_shapes, ib, grid, act = specs(b, t, c, ch)
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_pair, heads=heads, cdt=cdt,
+                              cfg=cfg),
+            out_shape=[jax.ShapeDtypeStruct((b, t, c), x.dtype)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32)
+               for s in w_shapes] * 2,
+            grid=grid,
+            in_specs=[act] + _weight_specs(w_shapes) * 2 + [act],
+            out_specs=[act] + _weight_specs(w_shapes) * 2,
+            compiler_params=_compiler_params(cfg),
+            interpret=interpret,
+        )(x, *_cast_wb(wb[:13], cdt, cfg),
+          *_cast_wb(wb[13:], cdt, cfg), dout)
+        return tuple(outs)
+
+    fused_pair.defvjp(fwd, bwd)
+    return fused_pair
+
+
+def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
+                          heads: int, interpret: bool = False,
+                          compute_dtype=jnp.bfloat16):
+    """Two consecutive Swin blocks (the canonical no-shift/shift pair)
+    in one fused kernel. Same params layout as fused_swin_block."""
+    op = _make_block_pair_op(heads, interpret,
+                             jnp.dtype(compute_dtype),
+                             _env_cfg()._replace(pair=True))
+    f32 = jnp.float32
+
+    def pack(params, bias):
+        def v(name):
+            return params[name].astype(f32).reshape(1, -1)
+        wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
+                               v('qkv_bias'), heads)
+        return (v('ln1_scale'), v('ln1_bias'), wq, bq,
+                params['proj_kernel'].astype(f32), v('proj_bias'),
+                v('ln2_scale'), v('ln2_bias'),
+                params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+                params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+                bias.astype(f32))
+
+    return op(x, *pack(params_a, bias_a), *pack(params_b, bias_b))
 
 
 # -----------------------------------------------------------------

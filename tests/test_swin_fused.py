@@ -102,6 +102,54 @@ def test_kernel_grads_match_autodiff_oracle(data):
                                    atol=max(3e-5 * scale, 3e-6))
 
 
+def test_pair_kernel_matches_two_single_blocks(data):
+    """Pair-fused kernel (2 blocks per pallas_call,
+    SRCACO2_SWIN_PAIR) == two chained single-block kernels: forward
+    and all grads."""
+    from srcaco2_tpu.ops.pallas.swin_block import fused_swin_block_pair
+    x, params_a, tables = data
+    params_b = _params(2)
+    bias = build_attn_bias(tables, H, W, WS)
+
+    def loss_pair(x, pa, pb):
+        y = fused_swin_block_pair(x, pa, bias[0], pb, bias[1],
+                                  heads=NH, interpret=True,
+                                  compute_dtype=F32)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_chain(x, pa, pb):
+        y = fused_swin_block(x, pa, bias[0], heads=NH,
+                             interpret=True, compute_dtype=F32)
+        y = fused_swin_block(y, pb, bias[1], heads=NH,
+                             interpret=True, compute_dtype=F32)
+        return jnp.sum(jnp.sin(y))
+
+    vp, gp = jax.value_and_grad(loss_pair, argnums=(0, 1, 2))(
+        x, params_a, params_b)
+    vc, gc = jax.value_and_grad(loss_chain, argnums=(0, 1, 2))(
+        x, params_a, params_b)
+    np.testing.assert_allclose(float(vp), float(vc), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gc)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=max(3e-5 * scale, 3e-6))
+
+
+def test_stack_pair_path_matches_single(data, monkeypatch):
+    """FusedBlockStack with SRCACO2_SWIN_PAIR=1 routes pairs through
+    the fused pair kernel and matches the per-block path."""
+    x, _, _ = data
+    xs = x.reshape(B, H, W, C)
+    m = FusedBlockStack(dim=C, depth=D, num_heads=NH, window_size=WS,
+                        mlp_ratio=2.0, use_pallas='interpret')
+    p = m.init(jax.random.key(0), xs)['params']
+    y1 = m.apply({'params': p}, xs)
+    monkeypatch.setenv('SRCACO2_SWIN_PAIR', '1')
+    y2 = m.apply({'params': p}, xs)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=2e-6)
+
+
 def test_bias_factorization_matches_gather():
     """The matmul-factorized bias build (no gathers/scatters) must be
     bitwise-equal to the naive table gather in the forward, and its
