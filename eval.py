@@ -41,10 +41,11 @@ def evaluate_pretrained(exp_path: str, split: str = constants.TESTSET):
     exp = Experiment(args)
     exp.state = exp.state.replace(
         params=CKPT.load_best(exp_path, exp.state.params))
-    exp.evaluate_test(step=0, use_best=True)
+    summary = exp.evaluate_test(step=0, use_best=True)
     T.save_tracker(exp.tracker, outd)
     T.save_tracker(exp.roi_tracker, outd, 'roi_tracker.pkl')
     T.plot_tracker(exp.tracker, outd)
+    return summary
 
 
 def main():

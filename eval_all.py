@@ -69,9 +69,10 @@ def main():
             continue
         DLLogger.log(fmsg(f'[{n_run}] {nt} x{sc} {cell}: {exp}'))
         try:
-            evaluate_pretrained(exp, ns.split)
+            summary = evaluate_pretrained(exp, ns.split)
             results[exp] = {'net': nt, 'scale': sc, 'cell': cell,
-                            'status': 'ok'}
+                            'status': 'ok',
+                            'datasets': summary or {}}
         except Exception as e:  # keep sweeping
             DLLogger.log(f'[eval_all] FAILED {exp}: {e}')
             results[exp] = {'net': nt, 'scale': sc, 'cell': cell,

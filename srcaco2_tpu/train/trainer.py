@@ -295,9 +295,11 @@ class Experiment:
     def evaluate_test(self, step: int, use_best: bool = True):
         """Test protocol (utils_trainer.evaluate:1184): per test ds, load
         the best model (per matching valid ds when multi-valid), evaluate,
-        plus the bicubic baseline under <ds>_bicubic."""
+        plus the bicubic baseline under <ds>_bicubic. Returns
+        {ds_name: {'psnr', 'ssim', 'n', 'time'}} (trained model)."""
         args = self.args
         multi = len(self.valid_sets) > 1
+        summary = {}
         for ds in self.test_sets:
             if ds.hr_dev is None:
                 ds.stage()
@@ -319,6 +321,10 @@ class Experiment:
                              int(args['eval_bsize']), constants.TESTSET,
                              save_img_dir=img_dir, current_step=step)
             log_perf(f'test/{ds.name}@{step}', perf)
+            summary[ds.name] = {
+                'psnr': float(perf['full']['psnr']),
+                'ssim': float(perf['full']['ssim']),
+                'n': int(perf['n']), 'time': float(perf['time'])}
             if args.get('is_master', True):
                 # per-image metric dump for offline verification
                 # (reference: details_*.yml, utils_trainer.py:253).
@@ -351,6 +357,7 @@ class Experiment:
                 T.update_tracker_eval(self.roi_tracker, constants.TESTSET,
                                       ds.name + '_bicubic', bperf['roi'],
                                       step, args['model_select_mtr'])
+        return summary
 
     # ------------------------------------------------------------- train
     def train_valid(self):
