@@ -398,11 +398,13 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
             dbm2[...] += jnp.sum(g, axis=0, keepdims=True)
         dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)    # (m, ch)
         du = dh * _gelu_grad(it['u'], it['th'])
+        du_c = du.astype(cdt)    # cast ONCE for both consumers
         if acc_w:
-            dw1[...] += _dotg(it['y2'], du, (((0,), (0,)), ((), ())),
-                              cdt)
+            dw1[...] += _dotg(it['y2'], du_c,
+                              (((0,), (0,)), ((), ())), cdt)
             dbm1[...] += jnp.sum(du, axis=0, keepdims=True)
-        dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)  # (m, c)
+        dy2 = _dotg(du_c, w1[:], (((1,), (1,)), ((), ())),
+                    cdt)                                       # (m, c)
         dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'],
                                      it['rstd2'])
         if acc_w:
@@ -410,11 +412,12 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
             db2[...] += db2v
         dx2 = g + dx2_ln
     # x2 = x + O @ Wp + bp
+    dx2_c = dx2.astype(cdt)      # cast ONCE for the three consumers
     if acc_w:
-        dwproj[...] += _dotg(it['o'], dx2, (((0,), (0,)), ((), ())),
-                             cdt)
+        dwproj[...] += _dotg(it['o'], dx2_c,
+                             (((0,), (0,)), ((), ())), cdt)
         dbproj[...] += jnp.sum(dx2, axis=0, keepdims=True)
-    do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)   # (m, c)
+    do = _dotg(dx2_c, wproj[:], (((1,), (1,)), ((), ())), cdt)  # (m, c)
     if cfg.heads_batched and 'attnbwd' not in _abl:
         # all-heads batched attention backward (see _attn_fwd note)
         q, k, v, e, rinv = it['saved']
@@ -513,16 +516,18 @@ def _block_bwd_math(g, it, refs, ib, t, c, heads, cdt):
     dbm2 = jnp.sum(g, axis=0, keepdims=True)
     dh = _dotg(g, w2[:], (((1,), (1,)), ((), ())), cdt)
     du = dh * _gelu_grad(it['u'], it['th'])
-    dw1 = _dotg(it['y2'], du, (((0,), (0,)), ((), ())), cdt)
+    du_c = du.astype(cdt)
+    dw1 = _dotg(it['y2'], du_c, (((0,), (0,)), ((), ())), cdt)
     dbm1 = jnp.sum(du, axis=0, keepdims=True)
-    dy2 = _dotg(du, w1[:], (((1,), (1,)), ((), ())), cdt)
+    dy2 = _dotg(du_c, w1[:], (((1,), (1,)), ((), ())), cdt)
     dx2_ln, dg2v, db2v = _ln_bwd(dy2, g2[:], it['xhat2'],
                                  it['rstd2'])
     dx2 = g + dx2_ln
     # x2 = x + O @ Wp + bp
-    dwproj = _dotg(it['o'], dx2, (((0,), (0,)), ((), ())), cdt)
+    dx2_c = dx2.astype(cdt)
+    dwproj = _dotg(it['o'], dx2_c, (((0,), (0,)), ((), ())), cdt)
     dbproj = jnp.sum(dx2, axis=0, keepdims=True)
-    do = _dotg(dx2, wproj[:], (((1,), (1,)), ((), ())), cdt)
+    do = _dotg(dx2_c, wproj[:], (((1,), (1,)), ((), ())), cdt)
     q, k, v, e, rinv = it['saved']
     do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
     p = e * rinv.astype(e.dtype)
