@@ -213,7 +213,24 @@ def load_dataset(args, ds_name: str, phase: str, n: int = -1,
     assert lr.shape[1] * scale == hr.shape[1], (lr.shape, hr.shape)
 
     if args.get('task') == constants.RECONSTRUCT:
-        # fake blurred LR -> real LR, at scale 1.
+        rin = str(args.get('reconstruct_input', 'fake'))
+        if rin == 'real':
+            # eval-only inference mode (dataset_dpsr.py:969-972):
+            # input = target = the HR acquisition downscaled to LR
+            # size — the interest is the restoration network's output
+            # on a REAL-statistics image, not the (identity) metric.
+            assert phase == constants.EVAL_PHASE, \
+                ('reconstruct_input=real is eval-only', phase)
+            h_to_l = synth_lr_from_hr(
+                hr, scale, seed=int(args.get('myseed', 0)),
+                inter_low_th=float(args['inter_low_th']),
+                inter_low_sigma=float(args['inter_low_sigma']),
+                simulate_noise=False)
+            return SRDataset(name=ds_name, phase=phase, scale=1,
+                             n_channels=nch, hr=h_to_l, lr=h_to_l,
+                             ids=ids, h_paths=h_paths,
+                             l_paths=h_paths, lr_is_real=False)
+        # 'fake' (default): blurred LR -> real LR, at scale 1.
         blurred = np.clip(np.round(blur_true_lr(lr) * 255.0), 0,
                           255).astype(np.uint8)
         return SRDataset(name=ds_name, phase=phase, scale=1,
