@@ -24,7 +24,8 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def make_raw_sessions(root, n_tiles=8, hr=512, seed=0):
+def make_raw_sessions(root, n_tiles=8, hr=512, seed=0,
+                      photon_coef=8.0, read_sigma=2.5):
     """Raw microscope-session tiles for the offline builder: RICH
     structured tiles (srcaco2_tpu.data.synthetic.rich_cell_tile) with
     per-channel marker statistics matching the real dataset's CELL0/1/2,
@@ -49,7 +50,9 @@ def make_raw_sessions(root, n_tiles=8, hr=512, seed=0):
             else:
                 dy, dx = int(rng.integers(-2, 3)), int(rng.integers(-2, 3))
                 sh = np.roll(np.roll(tile, dy, 1), dx, 2)
-                img = np.stack([degrade_lr(sh[c], sc, rng)
+                img = np.stack([degrade_lr(sh[c], sc, rng,
+                                           read_sigma=read_sigma,
+                                           photon_coef=photon_coef)
                                 for c in range(3)])
             B._imsave_chw(img, os.path.join(d, f'exp_Tile{t}_acq.tif'))
     return [B.SessionSpec(res_dirs=dirs)]
