@@ -38,12 +38,15 @@ def main():
     # 'attnbwd', 'mlpbwd' give the component breakdown).
     CONFIGS = [
         ('base', {}),
-        ('per-head attention', {'SRCACO2_SWIN_HEADS_BATCHED': '0'}),
-        ('rs-identity bwd', {'SRCACO2_SWIN_BWD_RS': '1'}),
+        ('pair-fused', {'SRCACO2_SWIN_PAIR': '1'}),
+        ('pair-fused ib256', {'SRCACO2_SWIN_PAIR': '1',
+                              'SRCACO2_SWIN_IB_ROWS': '256'}),
+        ('f32-softmax', {'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',
-                'SRCACO2_SWIN_HEADS_BATCHED']
+                'SRCACO2_SWIN_HEADS_BATCHED', 'SRCACO2_SWIN_PAIR',
+                'SRCACO2_SWIN_F32_SOFTMAX']
 
     stack = FusedBlockStack(dim=c, depth=36, num_heads=heads,
                             window_size=ws, mlp_ratio=mlp,

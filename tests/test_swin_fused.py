@@ -150,6 +150,30 @@ def test_stack_pair_path_matches_single(data, monkeypatch):
                                atol=2e-6)
 
 
+def test_f32_softmax_flag(data, monkeypatch):
+    """SRCACO2_SWIN_F32_SOFTMAX routes the score/softmax chain in f32
+    (torch-autocast numerics); with f32 compute dtype it must agree
+    with the default path, and under bf16 it must still match its own
+    oracle."""
+    x, params, tables = data
+    bias = build_attn_bias(tables, H, W, WS)
+    base = fused_swin_block(x, params, bias[1], heads=NH,
+                            interpret=True, compute_dtype=F32)
+    monkeypatch.setenv('SRCACO2_SWIN_F32_SOFTMAX', '1')
+    out_f = fused_swin_block(x, params, bias[1], heads=NH,
+                             interpret=True, compute_dtype=F32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(base),
+                               atol=1e-6)
+    out_bf = fused_swin_block(x, params, bias[1], heads=NH,
+                              interpret=True,
+                              compute_dtype=jnp.bfloat16)
+    ref_bf = swin_block_ref(x, params, bias[1], heads=NH,
+                            compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref_bf),
+                               atol=1e-5 + 2e-2 * float(
+                                   jnp.max(jnp.abs(ref_bf))))
+
+
 def test_bias_factorization_matches_gather():
     """The matmul-factorized bias build (no gathers/scatters) must be
     bitwise-equal to the naive table gather in the forward, and its
