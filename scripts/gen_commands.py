@@ -33,6 +33,15 @@ def train_cmd(net: str, scale: int, cell: str, data_root: str) -> str:
         '--sample_tr_patch_th_style fix_threshold',
         '--sample_tr_patch_th 4.0',
         '--amp True --batch_size 64 --max_epochs 70',
+        # reference README recipe (README.md:152-159): SGD lr 0.01,
+        # MyStepLR step 30 / gamma 0.5 ticked per ITERATION (reaching
+        # the 1e-4 floor within ~200 steps). SGD's unnormalized
+        # updates are what keeps loud-residual nets (VDSR/DRRN-class)
+        # from dying to zero-residual under this loss; with Adam add
+        # --G_scheduler_warmup instead (docs/QUALITY.md).
+        '--G_optimizer_type sgd --G_optimizer_lr 0.01',
+        '--G_scheduler_type MyStepLR --G_scheduler_step_size 30',
+        '--G_scheduler_gamma 0.5',
         '--G_optimizer_clipgrad 0.5',   # stabilizes the ssim term
         '--checkpoint_eval 1.0 --checkpoint_save 1.0',
     ]

@@ -77,6 +77,13 @@ def main():
                     help='>0: MyStepLR(step_size, gamma 0.5, floor '
                          'lr/16) ticked per iteration (reference '
                          'quirk); 0: constant lr')
+    ap.add_argument('--warmup', type=int, default=0,
+                    help='linear lr warmup iterations (Adam + loud-'
+                         'residual nets die to zero-residual without '
+                         'it; see docs/QUALITY.md)')
+    ap.add_argument('--optimizer', default=None,
+                    help="'sgd' reproduces the published reference "
+                         "recipe (README.md: SGD lr 0.01)")
     ap.add_argument('--clipgrad', type=float, default=0.5)
     ap.add_argument('--eval_every', default='4000')
     ap.add_argument('--fused', default=None,
@@ -136,6 +143,10 @@ def main():
                 '--G_scheduler_step_size', str(ns.sched_step),
                 '--G_scheduler_gamma', '0.5',
                 '--G_scheduler_min_lr', str(ns.lr / 16)]
+    if ns.warmup > 0:
+        cmd += ['--G_scheduler_warmup', str(ns.warmup)]
+    if ns.optimizer:
+        cmd += ['--G_optimizer_type', ns.optimizer]
     if ns.fused is not None:
         cmd += ['--swinir_use_fused_blocks', ns.fused]
     if ns.amp is not None:
@@ -219,7 +230,9 @@ def main():
                    'lr': ns.lr, 'sched_step': ns.sched_step,
                    'clipgrad': ns.clipgrad, 'n_tiles': ns.n_tiles,
                    'seed': ns.seed, 'tiles': 'rich',
-                   'fused': ns.fused, 'amp': ns.amp},
+                   'fused': ns.fused, 'amp': ns.amp,
+                   'warmup': ns.warmup,
+                   'optimizer': ns.optimizer or 'adam'},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},
         'trained_test': {k: scalars(v) for k, v in trained.items()},

@@ -88,6 +88,7 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
             "G_scheduler_step_size": 3,      # MyStepLR only; ticks on iters.
             "G_scheduler_gamma": 0.5,
             "G_scheduler_min_lr": 1e-4,      # MyStepLR floor.
+            "G_scheduler_warmup": 0,         # linear warmup iters (0 off).
             "G_regularizer_orthstep": 0.0,
             "G_regularizer_clipstep": 0.0,
             "G_param_strict": True,

@@ -20,6 +20,13 @@ def build_schedule(tr: dict) -> Callable:
     base_lr = float(tr['G_optimizer_lr'])
     kind = tr['G_scheduler_type']
     gamma = float(tr['G_scheduler_gamma'])
+    # Optional linear warmup over the first N iterations (multiplied
+    # onto either scheduler kind). Not a reference feature (its
+    # published recipe avoids warm-start instability by training SGD,
+    # README.md:152-159); with Adam, nets whose residual trunks start
+    # loud (VDSR/DRRN-class) die to zero-residual without it — see
+    # docs/QUALITY.md "training-dynamics parity".
+    warm = int(tr.get('G_scheduler_warmup', 0) or 0)
     if kind == constants.MYSTEPLR:
         step_size = int(tr['G_scheduler_step_size'])
         min_lr = float(tr['G_scheduler_min_lr'])
@@ -27,12 +34,23 @@ def build_schedule(tr: dict) -> Callable:
 
         def sched(count):
             lr = base_lr * (gamma ** (count // step_size))
-            return jnp.maximum(lr, min_lr)
+            lr = jnp.maximum(lr, min_lr)
+            if warm > 0:
+                lr = lr * jnp.minimum(1.0, (count + 1) / warm)
+            return lr
         return sched
     if kind == constants.MULTISTEPLR:
         milestones = [int(m) for m in tr['G_scheduler_milestones']]
         bounds = {m: gamma for m in milestones}
-        return optax.piecewise_constant_schedule(base_lr, bounds)
+        base = optax.piecewise_constant_schedule(base_lr, bounds)
+        if warm > 0:
+            import jax.numpy as jnp
+
+            def sched(count):
+                return base(count) * jnp.minimum(1.0,
+                                                 (count + 1) / warm)
+            return sched
+        return base
     raise NotImplementedError(kind)
 
 
