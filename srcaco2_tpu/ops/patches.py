@@ -8,36 +8,57 @@ fuses cleanly on TPU.
 
 Token layout matches torch: channel-major (c, kh, kw) flattened per token,
 tokens in row-major tile order.
+
+Sizes that are NOT a multiple of the stride are handled with torch's
+exact F.unfold/F.fold semantics (reference `network_act.py:476-526` runs
+unfold/fold on whatever (h, w) the head produced, e.g. 16x16 at the
+x8/128 benchmark patch size): unfold extracts the largest fitting token
+grid (silently dropping the bottom/right remainder rows), and fold
+writes tokens back into a zero-initialized (h, w) canvas (the remainder
+border stays zero).
 """
 import jax.numpy as jnp
 
 
 def unfold_nonoverlap(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, T, C*k*k), stride k == kernel k."""
+    """(B, H, W, C) -> (B, T, C*k*k), stride k == kernel k.
+
+    T = (H//k) * (W//k); remainder rows/cols are dropped (torch
+    F.unfold semantics)."""
     b, h, w, c = x.shape
     th, tw = h // k, w // k
+    x = x[:, :th * k, :tw * k]
     y = x.reshape(b, th, k, tw, k, c)
     y = y.transpose(0, 1, 3, 5, 2, 4)          # b, th, tw, c, kh, kw
     return y.reshape(b, th * tw, c * k * k)
 
 
 def fold_nonoverlap(t: jnp.ndarray, k: int, hw) -> jnp.ndarray:
-    """Inverse of unfold_nonoverlap: (B, T, C*k*k) -> (B, H, W, C)."""
+    """Inverse of unfold_nonoverlap: (B, T, C*k*k) -> (B, H, W, C).
+
+    If (h, w) is not a token-grid multiple the uncovered bottom/right
+    border is zero (torch F.fold semantics)."""
     h, w = hw
     b = t.shape[0]
     th, tw = h // k, w // k
     c = t.shape[-1] // (k * k)
     y = t.reshape(b, th, tw, c, k, k)
     y = y.transpose(0, 1, 4, 2, 5, 3)          # b, th, kh, tw, kw, c
-    return y.reshape(b, h, w, c)
+    y = y.reshape(b, th * k, tw * k, c)
+    if th * k != h or tw * k != w:
+        y = jnp.pad(y, ((0, 0), (0, h - th * k), (0, w - tw * k),
+                        (0, 0)))
+    return y
 
 
 def unfold_k2s(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """unfold with kernel 2s, stride s: (B,H,W,C) -> (B, T, C*2s*2s)
-    where T = (H/s - 1) * (W/s - 1)."""
+    where T = (H//s - 1) * (W//s - 1); remainder dropped."""
     b, h, w, c = x.shape
-    th, tw = h // s - 1, w // s - 1
-    q = x.reshape(b, h // s, s, w // s, s, c)
+    gh, gw = h // s, w // s                    # covered tile grid
+    th, tw = gh - 1, gw - 1
+    x = x[:, :gh * s, :gw * s]
+    q = x.reshape(b, gh, s, gw, s, c)
     q = q.transpose(0, 1, 3, 5, 2, 4)          # b, Th, Tw, c, s, s (tiles)
     # token (i,j) = tiles (i..i+1, j..j+1)
     tl = q[:, :-1, :-1]
@@ -52,10 +73,11 @@ def unfold_k2s(x: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def fold_k2s(t: jnp.ndarray, s: int, hw) -> jnp.ndarray:
     """fold with kernel 2s, stride s (overlap-ADD):
-    (B, T, C*2s*2s) -> (B, H, W, C)."""
+    (B, T, C*2s*2s) -> (B, H, W, C); uncovered border zero."""
     h, w = hw
     b = t.shape[0]
-    th, tw = h // s - 1, w // s - 1
+    gh, gw = h // s, w // s
+    th, tw = gh - 1, gw - 1
     c = t.shape[-1] // (4 * s * s)
     tok = t.reshape(b, th, tw, c, 2 * s, 2 * s)
     # split back into the four s x s quadrants
@@ -70,4 +92,8 @@ def fold_k2s(t: jnp.ndarray, s: int, hw) -> jnp.ndarray:
     grid = grid.at[:, 1:, :-1].add(bl)
     grid = grid.at[:, 1:, 1:].add(br)
     y = grid.transpose(0, 1, 4, 2, 5, 3)       # b, Th, s, Tw, s, c
-    return y.reshape(b, h, w, c)
+    y = y.reshape(b, gh * s, gw * s, c)
+    if gh * s != h or gw * s != w:
+        y = jnp.pad(y, ((0, 0), (0, h - gh * s), (0, w - gw * s),
+                        (0, 0)))
+    return y

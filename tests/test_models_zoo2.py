@@ -39,6 +39,19 @@ def test_act():
     assert out['out'].shape == (1, 1, 18, 18)
 
 
+def test_act_indivisible_size():
+    """The x8/128 benchmark patch gives ACT a 16x16 input — not a
+    token-size multiple. Reference F.unfold/F.fold silently crop the
+    token grid and zero-fill the border (network_act.py:476-526);
+    the fold/unfold ops reproduce that instead of failing."""
+    from srcaco2_tpu.models.act import ACT
+    m = ACT(in_chans=1, upscale=8, n_feats=8, n_resgroups=2,
+            n_resblocks=2, reduction=4, n_heads=4, n_layers=4,
+            n_fusionblocks=2, token_size=3, expansion_ratio=2)
+    out, _ = _run(m, (1, 1, 16, 16))
+    assert out['out'].shape == (1, 1, 128, 128)
+
+
 @pytest.mark.parametrize('scale,n_inter', [(2, 0), (8, 2)])
 def test_prosr(scale, n_inter):
     from srcaco2_tpu.models.prosr import ProSR
@@ -198,6 +211,39 @@ def test_patches_roundtrip():
                               unfold_k2s(jnp.ones_like(x), 3), 3,
                               (12, 9)))
     np.testing.assert_allclose(back, np.asarray(x) * cov, atol=1e-5)
+
+
+def test_patches_match_torch_unfold_indivisible():
+    """Crop/zero-fill semantics on non-multiple sizes must equal torch
+    F.unfold/F.fold exactly (the reference tokenizes whatever (h, w)
+    arrives — 16x16 at the x8 benchmark patch)."""
+    import torch
+    import torch.nn.functional as F
+    from srcaco2_tpu.ops.patches import (fold_k2s, fold_nonoverlap,
+                                         unfold_k2s, unfold_nonoverlap)
+    rng = np.random.default_rng(1)
+    for (h, w) in [(16, 16), (16, 13), (12, 12)]:
+        x = rng.uniform(0, 1, (2, 5, h, w)).astype(np.float32)
+        tx = torch.from_numpy(x)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))        # NHWC
+        # non-overlapping k=s=3
+        tu = F.unfold(tx, 3, stride=3).transpose(1, 2).numpy()
+        ju = np.asarray(unfold_nonoverlap(xj, 3))
+        np.testing.assert_allclose(ju, tu, atol=1e-6)
+        tf = F.fold(torch.from_numpy(tu).transpose(1, 2), (h, w), 3,
+                    stride=3).numpy()
+        jf = np.asarray(fold_nonoverlap(jnp.asarray(tu), 3,
+                                        (h, w))).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(jf, tf, atol=1e-6)
+        # overlapping k=6, s=3 (overlap-add fold)
+        tu2 = F.unfold(tx, 6, stride=3).transpose(1, 2).numpy()
+        ju2 = np.asarray(unfold_k2s(xj, 3))
+        np.testing.assert_allclose(ju2, tu2, atol=1e-6)
+        tf2 = F.fold(torch.from_numpy(tu2).transpose(1, 2), (h, w), 6,
+                     stride=3).numpy()
+        jf2 = np.asarray(fold_k2s(jnp.asarray(tu2), 3,
+                                  (h, w))).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(jf2, tf2, atol=1e-5)
 
 
 def test_all_models_via_registry():

@@ -257,6 +257,15 @@ def test_act():
                                porter=_port_act), rtol=5e-4)
 
 
+def test_act_indivisible():
+    """ACT at the x8 benchmark input (16x16, NOT a token-size
+    multiple): the reference's F.unfold/F.fold silently crop the token
+    grid and zero-fill the border — verify the rebuild reproduces that
+    end-to-end, not just on divisible shapes."""
+    assert_close(*both_outputs(constants.ACT, in_hw=16,
+                               porter=_port_act), rtol=5e-4)
+
+
 def test_prosr():
     """Exact after two differential-test-found fixes: the pyramid
     upsampler's post-pixel-shuffle ReLU (ps_woReLU=False default) and
