@@ -63,8 +63,12 @@ def main():
     # per-block remat; its hardware-supported batch here is <= 32.
     # DRRN/MemNet recurse at HR size (25 and 6 recursions of shared
     # convs); GRL runs 7 mixed-attention stages — HBM-capped likewise.
+    # MemNet's 6 memory blocks keep every recursion's gate inputs
+    # alive at HR size (compile OOMs at batch 32); SRFBN unrolls its
+    # feedback block 4x with dense in-block connectivity (OOMs at 64).
     BATCH_CAP = {constants.DBPN: 32, constants.DRRN: 32,
-                 constants.MEMNET: 32, constants.GRL: 32}
+                 constants.MEMNET: 16, constants.GRL: 32,
+                 constants.SRFBN: 16}
     # 512^2 full-image eval forward batch (HBM-bound for attention
     # nets: NLSN's LSH one-hot is quadratic in token count at 64^2+).
     EVAL_B = {constants.NLSN: 1, constants.ENLCN: 1, constants.GRL: 1,
