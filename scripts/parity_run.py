@@ -94,6 +94,14 @@ def main():
     ap.add_argument('--tag', default='',
                     help='suffix for the output yaml name')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--photon_coef', type=float, default=8.0,
+                    help='LR shot-noise strength (degrade_lr); 0 with '
+                         '--read_sigma 0 gives the structure-dominated '
+                         'benchmark (pure sensor binning, no noise) '
+                         'where the restorable headroom is resolution, '
+                         'not denoising — see docs/QUALITY.md')
+    ap.add_argument('--read_sigma', type=float, default=2.5,
+                    help='LR read-noise sigma (degrade_lr)')
     ap.add_argument('--amp', default=None,
                     help='True/False: bf16 AMP training (the fused-vs-'
                          'windowed numerics A/B runs under AMP, where '
@@ -106,7 +114,9 @@ def main():
     root = ns.root
     if not os.path.isdir(os.path.join(root, 'caco2')):
         print('# building dataset from raw tiles (full pipeline)...')
-        sessions = make_raw_sessions(root, n_tiles=ns.n_tiles)
+        sessions = make_raw_sessions(root, n_tiles=ns.n_tiles,
+                                     photon_coef=ns.photon_coef,
+                                     read_sigma=ns.read_sigma)
         counts = B.build_caco2_from_raw(
             sessions, root, hr_size=512, psize=128, del_border=8,
             min_area=0.1, threshold=4.0, n_test_tiles=2,
@@ -230,6 +240,8 @@ def main():
                    'lr': ns.lr, 'sched_step': ns.sched_step,
                    'clipgrad': ns.clipgrad, 'n_tiles': ns.n_tiles,
                    'seed': ns.seed, 'tiles': 'rich',
+                   'photon_coef': ns.photon_coef,
+                   'read_sigma': ns.read_sigma,
                    'fused': ns.fused, 'amp': ns.amp,
                    'warmup': ns.warmup,
                    'optimizer': ns.optimizer or 'adam'},
