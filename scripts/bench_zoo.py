@@ -66,6 +66,9 @@ def main():
     # MemNet's 6 memory blocks keep every recursion's gate inputs
     # alive at HR size (compile OOMs at batch 32); SRFBN unrolls its
     # feedback block 4x with dense in-block connectivity (OOMs at 64).
+    # (SRFBN: per-step remat, models/srfbn.py remat_steps, lifts the
+    # supported batch to 32 but measures slower — 180 vs 194 p/s —
+    # so the default path stays batch 16 without remat.)
     BATCH_CAP = {constants.DBPN: 32, constants.DRRN: 32,
                  constants.MEMNET: 16, constants.GRL: 32,
                  constants.SRFBN: 16}
@@ -116,8 +119,13 @@ def main():
                 else 512 // scale
             x_ev = jnp.asarray(
                 rng.random((eb, 1, in_hw_ev, in_hw_ev)), jnp.float32)
+            # BN nets (MemNet) carry batch_stats collections: eval
+            # apply needs them alongside params. Use the POST-training
+            # state's collections — the init-time ones were donated
+            # into the first train step and deleted.
+            extra = dict(getattr(state, 'model_state', None) or {})
             fwd = jax.jit(lambda p, xx: model.apply(
-                {'params': p}, xx, train=False)['out'])
+                {'params': p, **extra}, xx, train=False)['out'])
             ev_ips = None
             try:
                 eparams = jax.tree.map(

@@ -110,7 +110,9 @@ def define_g(args: dict) -> nn.Module:
                      upscale=_p(netG, nt, 'upscale'),
                      num_features=_p(netG, nt, 'num_features'),
                      num_steps=_p(netG, nt, 'num_steps'),
-                     num_groups=_p(netG, nt, 'num_groups'), dtype=dtype)
+                     num_groups=_p(netG, nt, 'num_groups'),
+                     remat_steps=netG.get('srfbn_remat_steps', False),
+                     dtype=dtype)
     if nt == constants.MSLAPSR:
         from srcaco2_tpu.models.mslapsr import MSLapSRN
         return MSLapSRN(in_chans=_p(netG, nt, 'in_chans'),

@@ -95,6 +95,16 @@ class SRFBN(nn.Module):
     num_features: int = 64
     num_steps: int = 4
     num_groups: int = 6
+    # remat each feedback-step application: the dense in-block
+    # connectivity (6 groups of big strided deconv/conv pairs, all
+    # hr_feats kept alive) OOMs the 16 GB chip above batch 16 at x8;
+    # per-step remat lifts the supported batch to 32 — but measured
+    # throughput is 180 p/s at 32 vs 194 p/s at 16 without remat
+    # (recompute cancels the batching gain; the net is relayout-bound,
+    # docs/THROUGHPUT.md), so the default stays off. Same port caveat
+    # as DBPN (models/dbpn.py): creation-order weight porting needs
+    # remat_steps=False.
+    remat_steps: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -108,8 +118,10 @@ class SRFBN(nn.Module):
         y = _CB(4 * f, 3, dtype=self.dtype, name='conv_in')(y)
         y = _CB(f, 1, dtype=self.dtype, name='feat_in')(y)
 
-        block = FeedbackBlock(f, self.num_groups, self.upscale,
-                              dtype=self.dtype, name='feedback')
+        fb_cls = nn.remat(FeedbackBlock, prevent_cse=False) \
+            if self.remat_steps else FeedbackBlock
+        block = fb_cls(f, self.num_groups, self.upscale,
+                       dtype=self.dtype, name='feedback')
         out_deconv = _DB(f, k, s, p, dtype=self.dtype, name='out')
         conv_out = _CB(self.in_chans, 3, act=False, dtype=self.dtype,
                        name='conv_out')

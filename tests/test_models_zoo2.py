@@ -261,3 +261,31 @@ def test_all_models_via_registry():
                                   'net_task': constants.REGRESSION}, cfg)
         model = define_g(cfg)
         assert model is not None, nt
+
+
+def test_srfbn_remat_transparent():
+    """Per-step remat (models/srfbn.py remat_steps) must be
+    numerically and structurally transparent: same param tree, same
+    forward, same grads."""
+    import jax
+    import jax.numpy as jnp
+    from srcaco2_tpu.models.srfbn import SRFBN
+    x = jnp.asarray(np.random.default_rng(0).random((1, 1, 8, 8)),
+                    jnp.float32)
+    kw = dict(upscale=2, num_features=8, num_steps=2, num_groups=2)
+    m1 = SRFBN(remat_steps=False, **kw)
+    m2 = SRFBN(remat_steps=True, **kw)
+    v = m1.init(jax.random.key(0), x)
+    assert (jax.tree.structure(v['params'])
+            == jax.tree.structure(m2.init(jax.random.key(0), x)['params']))
+    o1 = m1.apply(v, x)['out']
+    o2 = m2.apply(v, x)['out']
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({'params': p}, x)['out'] ** 2)
+    g1 = jax.grad(loss(m1))(v['params'])
+    g2 = jax.grad(loss(m2))(v['params'])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)

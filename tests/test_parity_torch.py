@@ -211,8 +211,12 @@ def _port_srfbn(tp, fp):
 
 
 def test_srfbn():
-    assert_close(*both_outputs(constants.SRFBN, porter=_port_srfbn),
-                 rtol=1e-5)
+    # like DBPN, the per-step remat lift reorders the flattened param
+    # walk; the port path uses the remat-free (creation-ordered) tree.
+    # Numerics are identical either way (tests/test_models_zoo2).
+    assert_close(*both_outputs(
+        constants.SRFBN, shrink={'srfbn_remat_steps': False},
+        porter=_port_srfbn), rtol=1e-5)
 
 
 def _act_key(name):
