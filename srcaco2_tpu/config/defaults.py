@@ -98,6 +98,14 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
             "test_epoch_freq": 50,
             "plot_epoch_freq": 5,
             "synch_scratch_epoch_freq": 50,
+            # failure-surfacing read lag (steps): per-step skip /
+            # corruption flags are read from device in ONE stacked
+            # transfer every N steps instead of one blocking scalar
+            # read per step — through a remote-dispatch TPU tunnel a
+            # per-step read serializes the loop. Surfacing latency is
+            # <= N steps; corruption still hard-stops. 1 = reference-
+            # exact per-step surfacing.
+            "failure_surface_lag": 32,
         },
         # --------------------------------------------------- evaluation
         "test_mode": 0,       # tiled/ensembled inference: 0 normal,

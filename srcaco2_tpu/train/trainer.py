@@ -396,7 +396,34 @@ class Experiment:
             f'training {self.net_type}: {n_train} samples, '
             f'{spe} steps/epoch, {max_epochs} epochs'))
 
-        prev_flags = None   # (step, _skipped, _corrupt) device scalars
+        # pending per-step failure flags (device scalars), drained in
+        # ONE stacked host transfer every `failure_surface_lag` steps
+        # and at every eval/checkpoint boundary: a blocking scalar
+        # read per step costs a full round-trip through a remote TPU
+        # tunnel and serializes the dispatch pipeline. Lag 1 restores
+        # reference-exact per-step surfacing (tools.py:55 exits every
+        # step; here a skipped update logs <= lag steps late and
+        # corruption still hard-stops the run).
+        flag_lag = max(1, int(args['train'].get(
+            'failure_surface_lag', 32) or 1))
+        pending_flags = []   # [(step, flags device scalar)]
+
+        def drain_flags():
+            if not pending_flags:
+                return
+            steps_, devs_ = zip(*pending_flags)
+            pending_flags.clear()
+            vals = np.asarray(jnp.stack(devs_))      # one transfer
+            for s_, v_ in zip(steps_, vals.astype(np.int64)):
+                if v_ & 1:
+                    DLLogger.log(f'[warn] step {s_}: non-finite '
+                                 f'loss/grads — update skipped')
+                if v_ & 2:
+                    raise RuntimeError(
+                        f'step {s_}: corrupted parameters or '
+                        f'predictions (non-finite) — stopping '
+                        f'(reference check_corruption semantics)')
+
         while step < total_steps:
             epoch = step // spe
             # per-epoch permutation (DistributedSampler analog)
@@ -410,23 +437,9 @@ class Experiment:
                                                 idxs, key)
             step += 1
 
-            # per-step failure surfacing, one step behind so the host
-            # read never stalls the in-flight step: a skipped update is
-            # logged the step after it happens; param/pred corruption
-            # hard-stops the run (reference check_corruption exits
-            # every step — dlib/utils/tools.py:55, model_plain.py:343).
-            if prev_flags is not None:
-                pstep, pflags = prev_flags
-                pf = int(float(pflags))     # one packed host read
-                if pf & 1:
-                    DLLogger.log(f'[warn] step {pstep}: non-finite '
-                                 f'loss/grads — update skipped')
-                if pf & 2:
-                    raise RuntimeError(
-                        f'step {pstep}: corrupted parameters or '
-                        f'predictions (non-finite) — stopping '
-                        f'(reference check_corruption semantics)')
-            prev_flags = (step - 1, holder['_flags'])
+            pending_flags.append((step - 1, holder['_flags']))
+            if len(pending_flags) >= flag_lag:
+                drain_flags()
 
             # periodic weight regularizers (model_plain.py:365-387).
             orthstep = int(args['train'].get('G_regularizer_orthstep',
@@ -449,9 +462,11 @@ class Experiment:
                     epoch_losses.setdefault(name, []).append(v)
 
             if step % n_check_eval == 0:
+                drain_flags()          # surface failures before eval
                 self.state = state
                 self._validate(step)
             if step % n_check_save == 0 and args.get('is_master', True):
+                drain_flags()          # never checkpoint corrupt state
                 self.state = state
                 CKPT.save_checkpoint(self.exp_dir, state)
                 CKPT.gc_checkpoints(self.exp_dir, int(state.step))
@@ -461,9 +476,20 @@ class Experiment:
 
             new_epoch = step // spe
             if new_epoch != last_epoch:
-                # epoch boundary: aggregate losses, ELB t, periodic jobs.
-                per_iter = {n: [float(v) for v in vs]
-                            for n, vs in epoch_losses.items()}
+                # epoch boundary: aggregate losses, ELB t, periodic
+                # jobs. Losses were kept as device scalars during the
+                # epoch — fetch them in ONE stacked transfer (per-value
+                # float() costs a tunnel round-trip each).
+                names_ = list(epoch_losses)
+                flat_ = [v for n in names_ for v in epoch_losses[n]]
+                vals_ = np.asarray(jnp.stack(flat_)) if flat_ else \
+                    np.zeros((0,))
+                per_iter, off_ = {}, 0
+                for n in names_:
+                    k_ = len(epoch_losses[n])
+                    per_iter[n] = [float(v) for v in
+                                   vals_[off_:off_ + k_]]
+                    off_ += k_
                 for n, vs in per_iter.items():
                     self.tracker['train'][T.PERIOD_ITER].setdefault(
                         n, []).extend(vs)
@@ -497,17 +523,8 @@ class Experiment:
                                             args['scratch_root'])
                 last_epoch = new_epoch
 
-        # drain the pending one-step-behind failure check
-        if prev_flags is not None:
-            pstep, pflags = prev_flags
-            pf = int(float(pflags))
-            if pf & 1:
-                DLLogger.log(f'[warn] step {pstep}: non-finite '
-                             f'loss/grads — update skipped')
-            if pf & 2:
-                raise RuntimeError(
-                    f'step {pstep}: corrupted parameters or '
-                    f'predictions (non-finite) — stopping')
+        # drain the remaining lagged failure checks
+        drain_flags()
 
         # final: save, validate, test, plots ---------------------------
         self.state = state
