@@ -106,6 +106,14 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
             # <= N steps; corruption still hard-stops. 1 = reference-
             # exact per-step surfacing.
             "failure_surface_lag": 32,
+            # superstep: lax.scan K optimizer updates inside ONE
+            # jitted dispatch (single-chip; a mesh forces 1). Per-step
+            # semantics are preserved exactly (per-step RNG fold,
+            # per-step optimizer/EMA/skip, logging cadence — the
+            # trainer chunks so eval/save/epoch boundaries never fall
+            # inside a call). Dispatch-bound small models (VDSR-class)
+            # gain the per-dispatch overhead back K-fold.
+            "train_steps_per_call": 8,
         },
         # --------------------------------------------------- evaluation
         "test_mode": 0,       # tiled/ensembled inference: 0 normal,

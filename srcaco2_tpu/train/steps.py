@@ -90,11 +90,24 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
                     steps_per_epoch: int = 1,
                     ppiw_table: Optional[jax.Array] = None,
                     donate: bool = True, mesh=None,
-                    netG: dict = None) -> Callable:
+                    netG: dict = None,
+                    steps_per_call: int = 1) -> Callable:
     """Build the jitted train step:
     (state, hr_u8, lr_u8, idxs, key) -> (state, loss_holder, ok_flag).
     With a mesh, batch indices are sharded over the 'data' axis and XLA
-    all-reduces gradients over ICI (parallel/mesh.shard_train_step)."""
+    all-reduces gradients over ICI (parallel/mesh.shard_train_step).
+
+    steps_per_call > 1 (single-chip only): the SUPERSTEP — a
+    lax.scan over K steps inside one jitted call, so dispatch-bound
+    small models (VDSR-class) pay one host dispatch per K optimizer
+    updates instead of per update. idxs then has shape (K, batch) and
+    the returned holder's entries are (K,)-stacked per-step values.
+    Per-step semantics match K dispatched steps (losses bit-equal;
+    params to a few ulps of XLA fusion reordering —
+    tests/test_train_e2e.py): the RNG folds on state.step INSIDE the
+    scan body, the optimizer / EMA / skip logic run per step, and
+    each distinct K compiles its own executable (the trainer chunks so boundaries never split a
+    logging/eval interval)."""
 
     def step_fn(state: TrainState, hr_u8, lr_u8, idxs, key):
         epoch = state.step // steps_per_epoch
@@ -160,8 +173,18 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
         return new_state, holder, ok & ~corrupt
 
     if mesh is not None:
+        assert steps_per_call <= 1, \
+            'superstep is single-chip; mesh path dispatches per step'
         from srcaco2_tpu.parallel.mesh import shard_train_step
         return shard_train_step(step_fn, mesh)
+    if steps_per_call > 1:
+        def multi_fn(state: TrainState, hr_u8, lr_u8, idxs_k, key):
+            def body(st, ix):
+                st2, holder, ok = step_fn(st, hr_u8, lr_u8, ix, key)
+                return st2, (holder, ok)
+            state, (holders, oks) = jax.lax.scan(body, state, idxs_k)
+            return state, holders, jnp.all(oks)
+        return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

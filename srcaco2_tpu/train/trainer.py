@@ -181,11 +181,16 @@ class Experiment:
             self.train_ds.stage(rep)
             for _ds in self.valid_sets + getattr(self, 'test_sets', []):
                 _ds.stage(rep)
+        # superstep (steps.py make_train_step): scan K optimizer
+        # updates per dispatch — dispatch-bound small models gain up
+        # to the full dispatch overhead back; single-chip only.
+        self.steps_per_call = 1 if self.mesh is not None else max(
+            1, int(args['train'].get('train_steps_per_call', 1) or 1))
         self.train_step = make_train_step(
             self.model, self.master, self.tx, nt, self.pipe_cfg,
             e_decay=e_decay, steps_per_epoch=self.steps_per_epoch,
             ppiw_table=self.ppiw_table, mesh=self.mesh,
-            netG=args['netG'])
+            netG=args['netG'], steps_per_call=self.steps_per_call)
         # amp vs amp_eval (reference: separate train/eval autocast
         # flags): when training in bf16 but amp_eval is False, evaluate
         # with an f32-compute twin of the same params.
@@ -406,24 +411,40 @@ class Experiment:
         # corruption still hard-stops the run).
         flag_lag = max(1, int(args['train'].get(
             'failure_surface_lag', 32) or 1))
-        pending_flags = []   # [(step, flags device scalar)]
+        pending_flags = []   # [(first step, flags dev scalar or (k,))]
+        pending_n = [0]      # steps covered by pending_flags
 
         def drain_flags():
             if not pending_flags:
                 return
-            steps_, devs_ = zip(*pending_flags)
+            entries = list(pending_flags)
             pending_flags.clear()
-            vals = np.asarray(jnp.stack(devs_))      # one transfer
-            for s_, v_ in zip(steps_, vals.astype(np.int64)):
-                if v_ & 1:
-                    DLLogger.log(f'[warn] step {s_}: non-finite '
-                                 f'loss/grads — update skipped')
-                if v_ & 2:
-                    raise RuntimeError(
-                        f'step {s_}: corrupted parameters or '
-                        f'predictions (non-finite) — stopping '
-                        f'(reference check_corruption semantics)')
+            pending_n[0] = 0
+            devs_ = [jnp.ravel(jnp.atleast_1d(d)) for _, d in entries]
+            vals = np.asarray(jnp.concatenate(devs_)
+                              if len(devs_) > 1 else devs_[0])
+            vals = vals.astype(np.int64)
+            off = 0
+            for (s0_, _), d_ in zip(entries, devs_):
+                for j_ in range(int(d_.shape[0])):
+                    v_ = vals[off + j_]
+                    if v_ & 1:
+                        DLLogger.log(f'[warn] step {s0_ + j_}: '
+                                     f'non-finite loss/grads — '
+                                     f'update skipped')
+                    if v_ & 2:
+                        raise RuntimeError(
+                            f'step {s0_ + j_}: corrupted parameters '
+                            f'or predictions (non-finite) — stopping '
+                            f'(reference check_corruption semantics)')
+                off += int(d_.shape[0])
 
+        spc = self.steps_per_call
+        # periodic weight regularizers (model_plain.py:365-387).
+        orthstep = int(args['train'].get('G_regularizer_orthstep',
+                                         0) or 0)
+        clipstep = int(args['train'].get('G_regularizer_clipstep',
+                                         0) or 0)
         while step < total_steps:
             epoch = step // spe
             # per-epoch permutation (DistributedSampler analog)
@@ -431,21 +452,28 @@ class Experiment:
                 # one permutation per epoch (DistributedSampler analog)
                 perm = P.epoch_indices(key, n_train, jnp.int32(epoch))
             i_in_epoch = step % spe
-            idxs = jax.lax.dynamic_slice_in_dim(
-                perm, i_in_epoch * self.batch_size, self.batch_size)
+            # chunk size: up to steps_per_call, never crossing an
+            # epoch / eval / save / regularizer / end boundary so
+            # every periodic host action still lands on its exact step.
+            k = min(spc, spe - i_in_epoch, total_steps - step)
+            for per in (n_check_eval, n_check_save, orthstep, clipstep):
+                if per:
+                    k = min(k, per - step % per)
+            if spc > 1:
+                idxs = jax.lax.dynamic_slice_in_dim(
+                    perm, i_in_epoch * self.batch_size,
+                    k * self.batch_size).reshape(k, self.batch_size)
+            else:
+                idxs = jax.lax.dynamic_slice_in_dim(
+                    perm, i_in_epoch * self.batch_size, self.batch_size)
             state, holder, ok = self.train_step(state, hr_dev, lr_dev,
                                                 idxs, key)
-            step += 1
+            step += k
 
-            pending_flags.append((step - 1, holder['_flags']))
-            if len(pending_flags) >= flag_lag:
+            pending_flags.append((step - k, holder['_flags']))
+            pending_n[0] += k
+            if pending_n[0] >= flag_lag:
                 drain_flags()
-
-            # periodic weight regularizers (model_plain.py:365-387).
-            orthstep = int(args['train'].get('G_regularizer_orthstep',
-                                             0) or 0)
-            clipstep = int(args['train'].get('G_regularizer_clipstep',
-                                             0) or 0)
             if orthstep > 0 and step % orthstep == 0:
                 from srcaco2_tpu.train.regularizers import \
                     regularizer_orth
@@ -481,12 +509,15 @@ class Experiment:
                 # epoch — fetch them in ONE stacked transfer (per-value
                 # float() costs a tunnel round-trip each).
                 names_ = list(epoch_losses)
-                flat_ = [v for n in names_ for v in epoch_losses[n]]
-                vals_ = np.asarray(jnp.stack(flat_)) if flat_ else \
-                    np.zeros((0,))
+                flat_ = [jnp.ravel(jnp.atleast_1d(v)) for n in names_
+                         for v in epoch_losses[n]]
+                vals_ = np.asarray(jnp.concatenate(flat_)
+                                   if len(flat_) > 1 else flat_[0]) \
+                    if flat_ else np.zeros((0,))
                 per_iter, off_ = {}, 0
                 for n in names_:
-                    k_ = len(epoch_losses[n])
+                    k_ = sum(int(np.prod(np.shape(v)) or 1)
+                             for v in epoch_losses[n])
                     per_iter[n] = [float(v) for v in
                                    vals_[off_:off_ + k_]]
                     off_ += k_

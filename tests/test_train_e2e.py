@@ -64,3 +64,69 @@ def test_resume_restores_step(tiny_exp):
     step = exp.resume()
     assert step == 4
     assert int(exp.state.step) == 4
+
+
+def test_superstep_equivalent():
+    """K lax.scan'ed steps (steps_per_call) must equal K dispatched
+    steps: same per-step RNG folds, optimizer, EMA. Losses match
+    bit-for-bit; params to a few ulps (XLA reorders fused ops inside
+    scan, so cross-compilation bit-exactness is not guaranteed)."""
+    import jax
+    import jax.numpy as jnp
+    from srcaco2_tpu.config.defaults import get_config
+    from srcaco2_tpu.config.parser import _derive
+    from srcaco2_tpu.data import pipeline as P
+    from srcaco2_tpu.losses.master import build_loss
+    from srcaco2_tpu.models.registry import define_g, init_variables
+    from srcaco2_tpu.train.schedule import build_optimizer
+    from srcaco2_tpu.train.state import TrainState
+    from srcaco2_tpu.train.steps import make_train_step
+
+    args = get_config('SRCNN')
+    args['l2'] = True
+    args['scale'] = 2
+    args['h_size'] = 16
+    args['n_channels'] = 1
+    args = _derive(args)
+    model = define_g(args)
+    master = build_loss(args)
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 1)), jnp.uint8)
+    lr = jnp.asarray(rng.integers(0, 256, (8, 16, 16, 1)), jnp.uint8)
+    key = jax.random.key(7)
+    pipe_cfg = P.PipeConfig(scale=2, h_size=16)
+    sample = jnp.zeros((1, 1, 16, 16), jnp.float32)
+    params, _ = init_variables(model, jax.random.key(0), sample)
+
+    def fresh():
+        tx = build_optimizer(args['train'])
+        return TrainState.create(
+            jax.tree.map(jnp.copy, params), tx), tx
+
+    idxs = jnp.asarray(rng.integers(0, 8, (6, 4)), jnp.int32)
+
+    s1, tx1 = fresh()
+    one = make_train_step(model, master, tx1, 'SRCNN', pipe_cfg,
+                          steps_per_epoch=3, netG=args['netG'],
+                          donate=False)
+    holders1 = []
+    for i in range(6):
+        s1, h1, _ = one(s1, hr, lr, idxs[i], key)
+        holders1.append(float(h1['total']))
+
+    s2, tx2 = fresh()
+    multi = make_train_step(model, master, tx2, 'SRCNN', pipe_cfg,
+                            steps_per_epoch=3, netG=args['netG'],
+                            donate=False, steps_per_call=3)
+    s2, h2a, _ = multi(s2, hr, lr, idxs[:3], key)
+    s2, h2b, _ = multi(s2, hr, lr, idxs[3:], key)
+    holders2 = [float(v) for v in np.concatenate(
+        [np.asarray(h2a['total']), np.asarray(h2b['total'])])]
+
+    np.testing.assert_array_equal(np.asarray(holders1),
+                                  np.asarray(holders2))
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    assert int(s2.step) == 6
