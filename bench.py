@@ -180,7 +180,9 @@ def main():
     if not ns.quick:
         try:
             from srcaco2_tpu.train.steps import make_eval_forward
-            eb = 4
+            eb = 16   # tiled fused eval path peaks at batch 16
+                      # (scripts/perf_eval_probe.py: 261 img/s vs
+                      # 203 at batch 4, 174-201 windowed)
             xe = {'l_im': jnp.asarray(
                 rng.normal(0.4, 0.2, (eb, 1, 64, 64)).clip(0, 1),
                 jnp.float32)}

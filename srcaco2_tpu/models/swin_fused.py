@@ -19,7 +19,10 @@ Parameters are stacked over depth d with torch-compatible layouts
 (qkv kernel (C, 3C) with head-major columns, bias table
 ((2ws-1)^2, nh)) so reference state_dicts port by simple transpose.
 """
-from typing import Any
+import functools
+import math
+import os
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -27,8 +30,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from srcaco2_tpu.ops.pallas.swin_block import (
-    MAX_T, LN_EPS, _env_cfg, _gelu, build_attn_bias,
-    fused_swin_block, fused_swin_block_pair,
+    MAX_T, NEG_INF, LN_EPS, _env_cfg, _gelu, build_attn_bias,
+    fused_swin_block, fused_swin_block_grouped, fused_swin_block_pair,
     full_attn_mask_and_index)
 from srcaco2_tpu.models.swinir import (relative_position_index,
                                        shift_attn_mask,
@@ -39,6 +42,100 @@ Dtype = Any
 
 def _pallas_ok() -> bool:
     return jax.devices()[0].platform == 'tpu'
+
+
+# -----------------------------------------------------------------
+# tiled full-image path: 2ws x 2ws pixel tiles (= 2x2 windows, T =
+# 4ws^2 <= MAX_T tokens) run through the fused kernel. Swin attention
+# is always intra-window, so a full image decomposes exactly into
+# independent tiles once the cyclic shift is folded into the tile
+# gather; under shift only windows on the image's last window row /
+# column carry wrap masks, so every tile is one of FOUR mask types
+# (interior / right-edge / bottom-edge / corner) and the kernel
+# selects the (nh, T, T) bias block per tile group via scalar
+# prefetch (ops/pallas/swin_block.py: fused_swin_block_grouped).
+# -----------------------------------------------------------------
+
+
+def _tile_group_masks(ws: int, shift: int) -> np.ndarray:
+    """(4, T, T) additional edge masks for a 2x2-window tile, groups
+    ordered (interior, right-edge, bottom-edge, corner). Within an
+    image-edge window the shift wrap splits tokens into regions that
+    must not attend to each other (reference network_swinir.py:276
+    calculate_mask); cross-window pairs are already masked by the
+    block-diagonal base bias."""
+    tl = 2 * ws
+    t = tl * tl
+    ys, xs = np.meshgrid(np.arange(tl), np.arange(tl), indexing='ij')
+    ys, xs = ys.ravel(), xs.ravel()
+    win = (ys // ws) * 2 + xs // ws
+    same_win = win[:, None] == win[None, :]
+
+    def reg(v, edge):
+        # region label along one axis: only the tile's SECOND window
+        # row/col can be the image's last, and only there does the
+        # wrap band [ws-shift, ws) live.
+        if not (edge and shift):
+            return np.zeros(t, np.int64)
+        band = (v // ws) == 1
+        inner = (v % ws) < (ws - shift)
+        return np.where(band, np.where(inner, 1, 2), 0)
+
+    masks = []
+    for ey, ex in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        rr = reg(ys, ey) * 3 + reg(xs, ex)
+        same_reg = rr[:, None] == rr[None, :]
+        masks.append(np.where(same_win & ~same_reg, NEG_INF, 0.0))
+    return np.stack(masks).astype(np.float32)
+
+
+class _TileLayout(NamedTuple):
+    perm: np.ndarray      # (B*H*W,) gather: rolled group-major tiles
+    inv: np.ndarray       # (B*H*W,) inverse gather back to raster
+    gid: np.ndarray       # (n_programs,) bias group per grid program
+    ib: int               # tiles per grid program
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_layout(b: int, h: int, w: int, ws: int,
+                 shift: int) -> _TileLayout:
+    """Token gather that folds roll(-shift) + tile partition + group-
+    major tile ordering into ONE index array. Tiles are ordered
+    (group, image, tile) so each ib-tile grid program sees a single
+    bias group."""
+    tl = 2 * ws
+    t = tl * tl
+    nty, ntx = h // tl, w // tl
+    ty, tx = np.meshgrid(np.arange(tl), np.arange(tl), indexing='ij')
+    ty, tx = ty.ravel(), tx.ravel()
+
+    def grp(i, j):
+        return (2 if i == nty - 1 else 0) + (1 if j == ntx - 1 else 0)
+
+    by_group = [[(i, j) for i in range(nty) for j in range(ntx)
+                 if grp(i, j) == g] for g in range(4)]
+    rows, gid_tiles = [], []
+    for g, tiles in enumerate(by_group):
+        for bi in range(b):
+            for (i, j) in tiles:
+                sr = (i * tl + ty + shift) % h
+                sc = (j * tl + tx + shift) % w
+                rows.append(bi * h * w + sr * w + sc)
+                gid_tiles.append(g)
+    perm = np.concatenate(rows).astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+
+    runs = [len(tiles) * b for tiles in by_group if tiles]
+    gg = 0
+    for r in runs:
+        gg = math.gcd(gg, r)
+    target = max(1, 512 // t)
+    ib = max(d for d in range(1, min(target, gg) + 1) if gg % d == 0)
+    gid = np.asarray(gid_tiles[::ib], np.int32)
+    assert all(len(set(gid_tiles[k * ib:(k + 1) * ib])) == 1
+               for k in range(len(gid)))
+    return _TileLayout(perm, inv, gid, ib)
 
 
 class FusedBlockStack(nn.Module):
@@ -89,6 +186,13 @@ class FusedBlockStack(nn.Module):
         if t <= MAX_T and mode in ('pallas', 'interpret'):
             return self._pallas_path(x, p, interpret=(mode ==
                                                       'interpret'))
+        ws = self.window_size
+        if (mode in ('pallas', 'interpret') and 4 * ws * ws <= MAX_T
+                and h % (2 * ws) == 0 and w % (2 * ws) == 0
+                and os.environ.get('SRCACO2_SWIN_TILED_EVAL',
+                                   '1') != '0'):
+            return self._tiled_pallas_path(
+                x, p, interpret=(mode == 'interpret'))
         return self._windowed_path(x, p)
 
     # ------------------------------------------------------------
@@ -129,6 +233,62 @@ class FusedBlockStack(nn.Module):
 
         tok, _ = jax.lax.scan(body, tok, (stacked, bias))
         return tok.reshape(b, h, w, c)
+
+    # ------------------------------------------------------------
+    def _tiled_pallas_path(self, x, p, interpret: bool):
+        """Full-image eval through the fused kernel: the image is cut
+        into 2ws x 2ws tiles (T = 4ws^2 tokens), the per-block cyclic
+        shift + tile partition + group-major ordering fold into one
+        precomputed token gather, and each tile runs the whole block
+        in VMEM with its mask group's bias selected by scalar
+        prefetch. Numerically identical math to _windowed_path (the
+        masked-window formulation), ~4x fewer HBM round trips."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        d = self.depth
+        shift = ws // 2
+        tl = 2 * ws
+        t = tl * tl
+        nt = (h // tl) * (w // tl)
+        lays = (_tile_layout(b, h, w, ws, 0),
+                _tile_layout(b, h, w, ws, shift))
+        ib = lays[0].ib
+        pars = [i % 2 for i in range(d)]
+        trans = []
+        for i in range(d):
+            if i < d - 1:
+                trans.append(
+                    lays[pars[i]].inv[lays[pars[i + 1]].perm])
+            else:
+                trans.append(lays[pars[i]].inv)
+        trans = jnp.asarray(np.stack(trans))          # (d, B*H*W)
+        gids = jnp.asarray(np.stack([lays[pp].gid for pp in pars]))
+        rel_bias = build_attn_bias(p['rel_pos_table'], tl, tl, ws,
+                                   shifts=(0,) * d)   # (d, nh, t, t)
+        masks_both = jnp.asarray(np.stack(
+            [_tile_group_masks(ws, 0),
+             _tile_group_masks(ws, shift)]))[:, :, None]
+        parity = jnp.asarray(pars, jnp.int32)
+
+        stacked = {k: p[k] for k in p if k != 'rel_pos_table'}
+        tok = x.reshape(b * h * w, c).astype(self.dtype)
+        carry = jnp.take(tok, jnp.asarray(lays[0].perm), axis=0, unique_indices=True).reshape(b * nt, t, c)
+
+        def body(cy, xs):
+            wsl, bias_d, tr, gid, par = xs
+            mask = jax.lax.dynamic_index_in_dim(masks_both, par, 0,
+                                                keepdims=False)
+            bias_g = bias_d[None] + mask              # (4, nh, t, t)
+            y = fused_swin_block_grouped(
+                cy, wsl, bias_g, gid, heads=self.num_heads, ib=ib,
+                interpret=interpret, compute_dtype=self.dtype)
+            y = jnp.take(y.reshape(b * h * w, c), tr, axis=0, unique_indices=True).reshape(b * nt, t, c)
+            return y, None
+
+        out, _ = jax.lax.scan(body, carry,
+                              (stacked, rel_bias, trans, gids,
+                               parity))
+        return out.reshape(b, h, w, c)
 
     # ------------------------------------------------------------
     def _windowed_path(self, x, p):

@@ -158,10 +158,12 @@ def _bias_factors(h: int, w: int, ws: int, shift: int):
 
 
 def build_attn_bias(tables: jax.Array, h: int, w: int, ws: int,
-                    dtype=jnp.float32) -> jax.Array:
+                    dtype=jnp.float32, shifts=None) -> jax.Array:
     """tables: (d, (2ws-1)^2, nh) learned bias tables for d blocks.
     Returns (d, nh, T, T) combined additive bias (learned rel-pos bias
-    + window/shift mask), block i shifted iff i odd (SwinIR order).
+    + window/shift mask), block i shifted iff i odd (SwinIR order);
+    `shifts` overrides the per-block shift sequence (the tiled eval
+    path passes all-zero shifts and adds its edge masks separately).
     Built via the _bias_factors matmul factorization — no gathers, no
     scatter-add in the backward, and the (T,T,nh)->(nh,T,T) transpose
     falls out of the einsum order for free."""
@@ -169,13 +171,21 @@ def build_attn_bias(tables: jax.Array, h: int, w: int, ws: int,
     n2 = ws * ws
     outs = []
     for i in range(d):
-        shift = 0 if i % 2 == 0 else ws // 2
+        shift = (0 if i % 2 == 0 else ws // 2) if shifts is None \
+            else shifts[i]
         mask, _ = full_attn_mask_and_index(h, w, ws, shift)
         p, oh = _bias_factors(h, w, ws, shift)
         pj, ohj = jnp.asarray(p), jnp.asarray(oh)
-        m4 = (ohj @ tables[i]).reshape(n2, n2, nh)     # (ac, bd, nh)
-        arow = jnp.einsum('ia,abh->ibh', pj, m4)       # (T, bd, nh)
-        bias = jnp.einsum('ibh,jb->hij', arow, pj)     # (nh, T, T)
+        # HIGHEST precision keeps the 0/1-factor products exact (the
+        # backend default routes f32 dots through bf16, which would
+        # silently round the learned table by ~0.4% relative)
+        hi = jax.lax.Precision.HIGHEST
+        m4 = jnp.einsum('mr,rh->mh', ohj, tables[i],
+                        precision=hi).reshape(n2, n2, nh)  # (ac,bd,nh)
+        arow = jnp.einsum('ia,abh->ibh', pj, m4,
+                          precision=hi)                    # (T,bd,nh)
+        bias = jnp.einsum('ibh,jb->hij', arow, pj,
+                          precision=hi)                    # (nh,T,T)
         outs.append(bias + jnp.asarray(mask)[None])
     return jnp.stack(outs).astype(dtype)
 
@@ -882,3 +892,90 @@ def swin_block_ref(x, params, bias, *, heads: int,
     out, _ = _block_fwd_math(xf, rr, _R(bias_c), b, t, c,
                              heads, jnp.dtype(compute_dtype), cfg)
     return out.reshape(b, t, c).astype(x.dtype)
+
+
+# -----------------------------------------------------------------
+# grouped-bias forward op (tiled full-image eval)
+# -----------------------------------------------------------------
+
+
+def _fwd_kernel_grouped(gid_ref, x_ref, g1, b1, wqkv, bqkv, wproj,
+                        bproj, g2, b2, w1, bm1, w2, bm2, bias_ref,
+                        out_ref, *, heads, cdt, cfg):
+    """Same math as _fwd_kernel, but bias_ref is a (1, nh, t, t) block
+    selected PER PROGRAM out of a (G, nh, t, t) group table by the
+    scalar-prefetched gid array (the BlockSpec index_map does the
+    selection; gid_ref itself is unused in the body)."""
+    del gid_ref
+    ib, t, c = x_ref.shape
+    x = x_ref[:].reshape(ib * t, c).astype(jnp.float32)
+    refs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2)
+    out, _ = _block_fwd_math(x, refs, bias_ref[0], ib, t, c, heads,
+                             cdt, cfg)
+    out_ref[:] = out.reshape(ib, t, c).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_op_grouped(heads: int, interpret: bool, cdt,
+                           cfg: _Cfg, ib: int):
+    """Forward-only fused block whose attention bias varies per grid
+    program: bias is (G, nh, T, T) in HBM and each program DMAs only
+    block gid[i] (consecutive equal gids reuse the resident block).
+    Used by the tiled full-image eval path (models/swin_fused.py),
+    where G is the number of distinct shift-mask tile types; inference
+    only, so no VJP."""
+
+    def call(x, gid, *wb):
+        b, t, c = x.shape
+        ch = wb[8].shape[1]
+        grid = (b // ib,)
+        # index_maps receive (grid idx, scalar-prefetch ref) here
+        w_specs = [pl.BlockSpec(s, lambda i, g, n=len(s): (0,) * n,
+                                memory_space=pltpu.VMEM)
+                   for s in _w_shapes(c, ch, heads, t)[:-1]]
+        act = pl.BlockSpec((ib, t, c), lambda i, g: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        bias_spec = pl.BlockSpec(
+            (1, heads, t, t), lambda i, g: (g[i], 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[act] + w_specs + [bias_spec],
+            out_specs=act)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_grouped, heads=heads,
+                              cdt=cdt, cfg=cfg),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            grid_spec=grid_spec,
+            compiler_params=_compiler_params(cfg),
+            interpret=interpret,
+        )(gid, x, *_cast_wb(wb, cdt, cfg))
+
+    return call
+
+
+def fused_swin_block_grouped(x, params, bias_groups, gid, *,
+                             heads: int, ib: int,
+                             interpret: bool = False,
+                             compute_dtype=jnp.bfloat16):
+    """Forward-only fused Swin block over tile batches with per-program
+    bias-group selection. x: (B, T, C) tiles ordered so that every
+    consecutive run of `ib` tiles shares a bias group; bias_groups:
+    (G, nh, T, T); gid: (B//ib,) int32 group per program."""
+    op = _make_block_op_grouped(heads, interpret,
+                                jnp.dtype(compute_dtype),
+                                _env_cfg(), ib)
+    f32 = jnp.float32
+
+    def v(name):
+        return params[name].astype(f32).reshape(1, -1)
+
+    wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
+                           v('qkv_bias'), heads)
+    wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
+          params['proj_kernel'].astype(f32), v('proj_bias'),
+          v('ln2_scale'), v('ln2_bias'),
+          params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+          params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+          bias_groups.astype(f32))
+    return op(x, gid, *wb)

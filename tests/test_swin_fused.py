@@ -225,13 +225,33 @@ def test_module_pallas_matches_windowed_f32(data):
                                    atol=max(3e-5 * scale, 3e-6))
 
 
-def test_module_large_input_uses_windowed_path():
-    """Inputs above MAX_T tokens must run the windowed path (eval)."""
+def test_module_large_input_uses_windowed_path(monkeypatch):
+    """Inputs above MAX_T tokens whose sides are not 2ws-tileable (or
+    with tiling disabled) must run the windowed jnp path (eval)."""
+    monkeypatch.setenv('SRCACO2_SWIN_TILED_EVAL', '0')
     xs = jnp.zeros((1, 24, 24, C), F32)   # 576 tokens > 256
     m = FusedBlockStack(C, 2, NH, WS, 2.0, use_pallas='interpret')
     params = m.init(jax.random.key(0), xs)
     out = m.apply(params, xs)             # would fail if pallas engaged
     assert out.shape == xs.shape
+
+
+@pytest.mark.parametrize('hw', [(24, 16), (8, 48)])
+def test_tiled_eval_matches_windowed(hw):
+    """Full-image tiled fused path (2ws x 2ws tiles, grouped bias via
+    scalar prefetch) == windowed jnp path, including the shift-wrap
+    edge masks. (8, 48) exercises the single-tile-row case where the
+    cyclic shift wraps within each tile."""
+    h, w = hw
+    r = np.random.default_rng(7)
+    xs = jnp.asarray(r.normal(0, 1, (2, h, w, C)), F32)
+    m_t = FusedBlockStack(C, D, NH, WS, 2.0, use_pallas='interpret')
+    m_w = FusedBlockStack(C, D, NH, WS, 2.0, use_pallas='never')
+    params = m_t.init(jax.random.key(0), xs)
+    yt = m_t.apply(params, xs)            # t=h*w > MAX_T -> tiled
+    yw = m_w.apply(params, xs)
+    np.testing.assert_allclose(np.asarray(yt), np.asarray(yw),
+                               atol=5e-6)
 
 
 def test_swinir_fused_integration():
