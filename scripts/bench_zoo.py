@@ -76,7 +76,8 @@ def main():
     # nets: NLSN's LSH one-hot is quadratic in token count at 64^2+).
     EVAL_B = {constants.NLSN: 1, constants.ENLCN: 1, constants.GRL: 1,
               constants.ACT: 1, constants.OMNISR: 2,
-              constants.SWINIR: 2, constants.DRRN: 2,
+              constants.SWINIR: 16,  # tiled fused eval path peaks @16
+              constants.DRRN: 2,
               constants.MEMNET: 2, constants.DBPN: 2}
     rows = []
     for net in NETS:
