@@ -22,6 +22,10 @@ def main():
     ap.add_argument('--batches', default='2,4,8,16,32,64')
     ap.add_argument('--reps', type=int, default=3)
     ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--tile-rows', default='',
+                    help='comma list: A/B SRCACO2_SWIN_TILE_ROWS '
+                         'settings (fresh jit per setting, '
+                         'interleaved timing)')
     ns = ap.parse_args()
 
     import jax
@@ -42,35 +46,51 @@ def main():
 
     rng = np.random.default_rng(0)
     batches = [int(b) for b in ns.batches.split(',')]
-    results = {b: [] for b in batches}
-    # interleave reps across batches so tunnel drift hits all equally
+    # configurations: (batch, tile_rows-or-None). Each non-default
+    # tile_rows setting gets its OWN jitted forward (the env var is
+    # read at trace time), so settings A/B inside one process.
+    rows_list = ([int(r) for r in ns.tile_rows.split(',')]
+                 if ns.tile_rows else [None])
+    fwds = {}
+    for rv in rows_list:
+        if rv is not None:
+            os.environ['SRCACO2_SWIN_TILE_ROWS'] = str(rv)
+        fwds[rv] = make_eval_forward(model, constants.SWINIR, scale)
+    configs = [(b, rv) for b in batches for rv in rows_list]
+    results = {cfg: [] for cfg in configs}
+    # interleave reps across configs so tunnel drift hits all equally
     for rep in range(ns.reps):
-        for b in batches:
-            if results[b] and results[b][-1] is None:
+        for cfg in configs:
+            b, rv = cfg
+            if results[cfg] and results[cfg][-1] is None:
                 continue
+            if rv is not None:
+                os.environ['SRCACO2_SWIN_TILE_ROWS'] = str(rv)
             xe = {'l_im': jnp.asarray(
                 rng.normal(0.4, 0.2, (b, 1, 64, 64)).clip(0, 1),
                 jnp.float32)}
             try:
-                r = efwd(params, xe)
+                r = fwds[rv](params, xe)
                 float(jnp.sum(r))
                 t0 = time.perf_counter()
                 for _ in range(ns.iters):
-                    r = efwd(params, xe)
+                    r = fwds[rv](params, xe)
                 float(jnp.sum(r))
                 dt = time.perf_counter() - t0
-                results[b].append(ns.iters * b / dt)
+                results[cfg].append(ns.iters * b / dt)
             except Exception as e:
-                print(f'batch {b}: {type(e).__name__}: {e}',
+                print(f'batch {b} rows {rv}: {type(e).__name__}: {e}',
                       file=sys.stderr)
-                results[b].append(None)
-    for b in batches:
-        vals = [v for v in results[b] if v]
+                results[cfg].append(None)
+    for cfg in configs:
+        b, rv = cfg
+        tag = f' rows {rv:5d}' if rv is not None else ''
+        vals = [v for v in results[cfg] if v]
         if vals:
-            print(f'batch {b:3d}: {max(vals):7.1f} img/s  '
+            print(f'batch {b:3d}{tag}: {max(vals):7.1f} img/s  '
                   f'(reps {", ".join(f"{v:.0f}" for v in vals)})')
         else:
-            print(f'batch {b:3d}: FAILED')
+            print(f'batch {b:3d}{tag}: FAILED')
 
 
 if __name__ == '__main__':

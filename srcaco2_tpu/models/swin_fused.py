@@ -97,8 +97,8 @@ class _TileLayout(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _tile_layout(b: int, h: int, w: int, ws: int,
-                 shift: int) -> _TileLayout:
+def _tile_layout(b: int, h: int, w: int, ws: int, shift: int,
+                 row_target: int) -> _TileLayout:
     """Token gather that folds roll(-shift) + tile partition + group-
     major tile ordering into ONE index array. Tiles are ordered
     (group, image, tile) so each ib-tile grid program sees a single
@@ -130,7 +130,10 @@ def _tile_layout(b: int, h: int, w: int, ws: int,
     gg = 0
     for r in runs:
         gg = math.gcd(gg, r)
-    target = max(1, 512 // t)
+    # tiles per grid program: enough rows to amortize per-program
+    # overhead, bounded by VMEM (the (ib, nh, t, t) score block is the
+    # big term) and by the gcd of the group runs.
+    target = max(1, row_target // t)
     ib = max(d for d in range(1, min(target, gg) + 1) if gg % d == 0)
     gid = np.asarray(gid_tiles[::ib], np.int32)
     assert all(len(set(gid_tiles[k * ib:(k + 1) * ib])) == 1
@@ -250,8 +253,12 @@ class FusedBlockStack(nn.Module):
         tl = 2 * ws
         t = tl * tl
         nt = (h // tl) * (w // tl)
-        lays = (_tile_layout(b, h, w, ws, 0),
-                _tile_layout(b, h, w, ws, shift))
+        # rows per grid program (v5e A/B, perf_eval_probe --tile-rows:
+        # 1024 is +0-1% vs 512, 2048 = 8 tiles exceeds the 16 MB
+        # scoped-VMEM limit — per-program overhead is not the binder)
+        rows = int(os.environ.get('SRCACO2_SWIN_TILE_ROWS', '512'))
+        lays = (_tile_layout(b, h, w, ws, 0, rows),
+                _tile_layout(b, h, w, ws, shift, rows))
         ib = lays[0].ib
         pars = [i % 2 for i in range(d)]
         trans = []
