@@ -152,6 +152,11 @@ class FusedBlockStack(nn.Module):
     mlp_ratio: float
     dtype: Dtype = jnp.float32
     use_pallas: str = 'auto'      # 'auto' | 'never' | 'interpret'
+    allow_tiled: bool = True      # full-image tiled kernel path is
+                                  # FORWARD-ONLY (no VJP): callers that
+                                  # may differentiate at full-image
+                                  # shapes must pass False (SwinIR
+                                  # passes `not train`)
 
     def _params(self):
         d, c = self.depth, self.dim
@@ -190,7 +195,8 @@ class FusedBlockStack(nn.Module):
             return self._pallas_path(x, p, interpret=(mode ==
                                                       'interpret'))
         ws = self.window_size
-        if (mode in ('pallas', 'interpret') and 4 * ws * ws <= MAX_T
+        if (self.allow_tiled and mode in ('pallas', 'interpret')
+                and 4 * ws * ws <= MAX_T
                 and h % (2 * ws) == 0 and w % (2 * ws) == 0
                 and os.environ.get('SRCACO2_SWIN_TILED_EVAL',
                                    '1') != '0'):

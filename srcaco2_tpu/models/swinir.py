@@ -201,6 +201,8 @@ class RSTB(nn.Module):
     remat_blocks: bool = True
     fused: bool = False           # fused VMEM block kernel (swin_fused)
     fused_mode: str = 'auto'      # 'auto' | 'never' | 'interpret'
+    fused_tiled: bool = True      # allow the forward-only tiled
+                                  # full-image kernel (False in train)
 
     @nn.compact
     def __call__(self, x):
@@ -211,6 +213,7 @@ class RSTB(nn.Module):
                                 self.window_size, self.mlp_ratio,
                                 dtype=self.dtype,
                                 use_pallas=self.fused_mode,
+                                allow_tiled=self.fused_tiled,
                                 name='blocks')(x)
         elif self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
             # remat halves measured step time: the backward is HBM-
@@ -259,6 +262,7 @@ class _ScanRSTB(nn.Module):
     use_pallas: bool = False
     fused: bool = False
     fused_mode: str = 'auto'
+    fused_tiled: bool = True
 
     @nn.compact
     def __call__(self, x, _):
@@ -266,7 +270,8 @@ class _ScanRSTB(nn.Module):
                  self.window_size, self.mlp_ratio,
                  self.resi_connection, dtype=self.dtype,
                  use_pallas=self.use_pallas, fused=self.fused,
-                 fused_mode=self.fused_mode)(x)
+                 fused_mode=self.fused_mode,
+                 fused_tiled=self.fused_tiled)(x)
         return x, None
 
 
@@ -339,6 +344,7 @@ class SwinIR(nn.Module):
                 self.resi_connection, dtype=self.dtype,
                 use_pallas=self.use_pallas_attn,
                 fused=self.fused_blocks, fused_mode=self.fused_mode,
+                fused_tiled=not train,
                 name='stages')(body, None)
         else:
             for i, (d, nh) in enumerate(zip(self.depths,
@@ -349,6 +355,7 @@ class SwinIR(nn.Module):
                             use_pallas=self.use_pallas_attn,
                             fused=self.fused_blocks,
                             fused_mode=self.fused_mode,
+                            fused_tiled=not train,
                             name=f'rstb{i}')(body)
         body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(body)
         body = Conv(self.embed_dim, 3, dtype=self.dtype,

@@ -254,6 +254,26 @@ def test_tiled_eval_matches_windowed(hw):
                                atol=5e-6)
 
 
+def test_train_grad_at_tileable_shape_falls_back():
+    """The tiled kernel is forward-only; training (grad) at a
+    full-image-like tileable shape must route to the differentiable
+    windowed path instead of crashing on the missing VJP."""
+    from srcaco2_tpu import constants
+    from srcaco2_tpu.models.swinir import SwinIR
+    m = SwinIR(in_chans=1, upscale=2, window_size=4, embed_dim=16,
+               depths=(2,), num_heads=(2,), mlp_ratio=2.0,
+               upsampler=constants.US_PIXEL_SHUFFLE_DIRECT,
+               fused_blocks=True, fused_mode='interpret')
+    x = jnp.ones((1, 1, 24, 24), F32) * 0.5   # 576 tokens, 2ws-tileable
+    params = m.init(jax.random.key(0), x, train=False)['params']
+
+    def loss(p):
+        return jnp.mean(m.apply({'params': p}, x,
+                                train=True)['out'] ** 2)
+    g = jax.grad(loss)(params)
+    assert all(jnp.all(jnp.isfinite(le)) for le in jax.tree.leaves(g))
+
+
 def test_swinir_fused_integration():
     """SwinIR(fused_blocks=True) trains a step and evaluates at a
     different (large) shape with the same params."""
