@@ -26,6 +26,7 @@ TPU-first decoder layout (exact LIIF math, reorganized for the MXU):
 tests/test_models_zoo2.py::test_edsr_liif_factored_decoder_exact
 verifies the factorization against the naive unfold+concat decoder.
 """
+import os
 from typing import Any
 
 import numpy as np
@@ -37,6 +38,24 @@ from srcaco2_tpu.models.blocks import (Conv, ResBlock, nchw_to_nhwc,
                                        nhwc_to_nchw)
 
 Dtype = Any
+
+
+def _ensemble_gather(z, iy, ix):
+    """lat[b, p, q, c] = z[b, iy[p], ix[q], c] for STATIC index
+    vectors. Default: constant one-hot MXU matmuls (exact — 0/1
+    weights; the VJP becomes a transposed matmul), the NLSN
+    permute_rows trick applied to the LIIF upsample pattern —
+    measured +36% train throughput over the take path on v5e
+    (scripts/perf_liif_ab.py: 514 -> 700 patches/s at the zoo bench
+    config). SRCACO2_LIIF_ONEHOT=0 restores the row/col takes (XLA
+    static gathers whose VJP is a scatter-add)."""
+    if os.environ.get('SRCACO2_LIIF_ONEHOT', '1') == '1':
+        hl, wl = z.shape[1], z.shape[2]
+        oy = jnp.asarray(np.eye(hl, dtype=np.float32)[iy], z.dtype)
+        ox = jnp.asarray(np.eye(wl, dtype=np.float32)[ix], z.dtype)
+        zp = jnp.einsum('ph,bhwc->bpwc', oy, z)
+        return jnp.einsum('qw,bpwc->bpqc', ox, zp)
+    return z[:, iy][:, :, ix]
 
 
 class EDSREncoder(nn.Module):
@@ -129,7 +148,7 @@ class EDSRLIIF(nn.Module):
                          hl - 1).astype(np.int32)
             ix = np.clip(np.round(ix0 + vx * 0.5), 0,
                          wl - 1).astype(np.int32)
-            lat = z[:, iy][:, :, ix]                  # B, hh, wh, hid
+            lat = _ensemble_gather(z, iy, ix)         # B, hh, wh, hid
             rel_y = (yq - yl[iy]) * hl
             rel_x = (xq - xl[ix]) * wl
             rel = np.stack(np.meshgrid(rel_y, rel_x, indexing='ij'),

@@ -123,6 +123,31 @@ def test_edsr_liif_factored_decoder_exact():
                                atol=1e-4)
 
 
+def test_edsr_liif_onehot_gather_exact(monkeypatch):
+    """The default one-hot-matmul ensemble gather must be exact vs
+    the take path (SRCACO2_LIIF_ONEHOT=0): forward and grads agree
+    (the matmul VJP replaces the scatter-add)."""
+    import numpy as np
+    from srcaco2_tpu.models.edsr_liif import EDSRLIIF
+    m = EDSRLIIF(in_chans=1, upscale=2, n_feats=8, n_resblocks=2,
+                 hidden=16)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0.5, 0.2, (2, 1, 6, 6)), jnp.float32)
+    p = m.init(jax.random.key(0), x)['params']
+
+    def loss(p):
+        return jnp.sum(jnp.sin(m.apply({'params': p}, x)['out']))
+
+    monkeypatch.setenv('SRCACO2_LIIF_ONEHOT', '0')
+    y0, g0 = jax.value_and_grad(loss)(p)
+    monkeypatch.setenv('SRCACO2_LIIF_ONEHOT', '1')
+    y1, g1 = jax.value_and_grad(loss)(p)
+    np.testing.assert_allclose(float(y1), float(y0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_edsr_liif_constant_input_periodic():
     """For a constant input, every decoder input (latent, rel, cell,
     ensemble areas) is s-periodic over the interior query grid, so the
