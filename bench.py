@@ -33,6 +33,12 @@ def main():
     ap.add_argument('--unroll', type=int, default=1)
     ap.add_argument('--no-fused', action='store_true',
                     help='disable the fused VMEM block kernel')
+    ap.add_argument('--superstep', type=int, default=8,
+                    help='scan K optimizer updates per dispatch '
+                         '(8 = the trainer production default; '
+                         '1 = per-step dispatch). In-process A/B '
+                         '(scripts/perf_superstep_ab.py): 1515 (K=1) '
+                         '-> 1533 patches/s (K=8), +1.2%%.')
     ns = ap.parse_args()
 
     import jax
@@ -96,8 +102,10 @@ def main():
     state = TrainState.create(params, tx)
 
     pipe_cfg = P.PipeConfig(scale=scale, h_size=h_size)
+    k = max(1, ns.superstep)
     step_fn = make_train_step(model, master, tx, constants.SWINIR,
-                              pipe_cfg, steps_per_epoch=1000)
+                              pipe_cfg, steps_per_epoch=1000,
+                              steps_per_call=k)
 
     # synthetic staged split (256 HR images is plenty for sampling)
     rng = np.random.default_rng(0)
@@ -110,8 +118,9 @@ def main():
     idx_key = jax.random.key(1)
 
     def sample_idxs(i):
+        shape = (k, batch) if k > 1 else (batch,)
         return jax.random.randint(jax.random.fold_in(idx_key, i),
-                                  (batch,), 0, n_img)
+                                  shape, 0, n_img)
 
     # warmup/compile (force a host read — block_until_ready alone has
     # proven unreliable on the experimental axon platform). The remote
@@ -120,7 +129,7 @@ def main():
         try:
             state, holder, ok = step_fn(state, hr, lr, sample_idxs(0),
                                         key)
-            float(holder['total'])
+            float(jnp.sum(holder['total']))
             break
         except Exception as e:
             if attempt == 2:
@@ -132,10 +141,11 @@ def main():
     t0 = time.perf_counter()
     for i in range(1, steps + 1):
         state, holder, ok = step_fn(state, hr, lr, sample_idxs(i), key)
-    final_loss = float(holder['total'])   # host sync on the full chain
+    # host sync on the full chain (last step's loss if superstepped)
+    final_loss = float(jnp.sum(holder['total'])) / k
     dt = time.perf_counter() - t0
 
-    pps = batch * steps / dt / max(1, n_chips)
+    pps = batch * steps * k / dt / max(1, n_chips)
     target = 3000.0
 
     # analytic model FLOPs/step (fwd + 2x bwd + ~1x recompute) for an
@@ -157,9 +167,9 @@ def main():
         return 4 * batch * t * n_blocks * per_tok
 
     train_flops = train_flops_of(t_exec)
-    mfu = (train_flops * steps / dt / peak / max(1, n_chips)
+    mfu = (train_flops * steps * k / dt / peak / max(1, n_chips)
            if peak else 0.0)
-    mfu_useful = (train_flops_of(t_use) * steps / dt / peak
+    mfu_useful = (train_flops_of(t_use) * steps * k / dt / peak
                   / max(1, n_chips) if peak else 0.0)
 
     detail = {
@@ -169,6 +179,7 @@ def main():
         'dtype': 'float32' if ns.f32 else 'bfloat16',
         'quick': bool(ns.quick),
         'fused': fused,
+        'steps_per_call': k,
         'mfu_est': round(mfu, 4),
         'mfu_useful_est': round(mfu_useful, 4),
         'train_tflops_per_step': round(train_flops / 1e12, 3),
@@ -204,15 +215,16 @@ def main():
             p2 = m2.init(jax.random.key(0), x0, train=False)['params']
             st2 = TrainState.create(p2, tx)
             sf2 = make_train_step(m2, master, tx, constants.DFCAN,
-                                  pipe_cfg, steps_per_epoch=1000)
+                                  pipe_cfg, steps_per_epoch=1000,
+                                  steps_per_call=k)
             st2, h2, _ = sf2(st2, hr, lr, sample_idxs(0), key)
-            float(h2['total'])
+            float(jnp.sum(h2['total']))
             t0 = time.perf_counter()
             for i in range(1, 11):
                 st2, h2, _ = sf2(st2, hr, lr, sample_idxs(i), key)
-            float(h2['total'])
+            float(jnp.sum(h2['total']))
             detail['dfcan_x8_train_patches_per_sec'] = round(
-                batch * 10 / (time.perf_counter() - t0), 2)
+                batch * 10 * k / (time.perf_counter() - t0), 2)
         except Exception as e:                      # pragma: no cover
             detail['dfcan_x8_train_patches_per_sec'] = \
                 f'ERR {type(e).__name__}'
