@@ -172,6 +172,7 @@ def init_net_g(netG: dict, args: dict) -> dict:
         out[f'{nt}_in_chans'] = args['n_channels']
         out[f'{nt}_num_memory_blocks'] = 6
         out[f'{nt}_num_residual_blocks'] = 6
+        out[f'{nt}_remat_passes'] = True
         common()
 
     elif net_type == constants.DRRN:

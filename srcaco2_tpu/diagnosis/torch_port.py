@@ -27,6 +27,12 @@ can mis-pair parameters WITHOUT tripping the shape check. Port DBPN
 through `port_dbpn` (which enforces it), or init the model with
 `remat_blocks=False` (models/dbpn.py) — the math is identical either
 way; remat only changes activation memory.
+
+Same constraint for MemNet's `remat_passes` (models/cnn_pre.py): the
+lifted chain inserts a `Checkpoint_MemChain_0` level that sorts before
+`Conv_0`, so order-based porting requires `memnet_remat_passes=False`
+(in MemNet's case the shape check DOES catch a mis-pair — BN vectors
+hit conv kernels — so a wrong port fails loudly rather than silently).
 """
 from typing import Callable, Dict, List, Optional, Tuple
 

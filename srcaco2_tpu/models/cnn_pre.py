@@ -129,27 +129,54 @@ class _MemResidualBlock(nn.Module):
         return x + h
 
 
+class _MemChain(nn.Module):
+    """One pass over the memory block's R DISTINCT residual blocks.
+    Factored out so the R^2 recursion can remat at pass granularity."""
+    features: int
+    num_resblocks: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.num_resblocks):
+            x = _MemResidualBlock(self.features, dtype=self.dtype)(
+                x, train)
+        return x
+
+
 class _MemoryBlock(nn.Module):
     """MemNet memory block (network_memnet.py:45): R DISTINCT
     pre-activation residual blocks; the forward pushes the state
     through the whole R-block chain R times, collecting the chain
     output after each pass (R^2 block applications — upstream's exact
     recursion quirk), then gates concat(short_outs + long_outs) with
-    BN-ReLU-1x1conv."""
+    BN-ReLU-1x1conv.
+
+    remat_passes: checkpoint each chain pass — without it the R^2
+    applications at HR size keep every conv/BN intermediate alive for
+    backward (~36 GB at batch 16 for the default 6x6 net) and XLA
+    spills to HBM (the 26-patches/s row in docs/THROUGHPUT.md); with
+    it only pass boundaries are stored. Identical math. Like DBPN's
+    remat_blocks, the remat lift canonicalizes the param-tree order,
+    so the order-based torch port requires remat_passes=False
+    (diagnosis/torch_port.py docstring)."""
     features: int
     num_resblocks: int
     n_memories: int          # number of long-term memory inputs
     dtype: Dtype = jnp.float32
+    remat_passes: bool = True
 
     @nn.compact
     def __call__(self, x, long_term, train: bool = False):
-        blocks = [_MemResidualBlock(self.features, dtype=self.dtype)
-                  for _ in range(self.num_resblocks)]
+        Chain = (nn.remat(_MemChain, prevent_cse=False,
+                          static_argnums=(2,))
+                 if self.remat_passes else _MemChain)
+        chain = Chain(self.features, self.num_resblocks,
+                      dtype=self.dtype)
         outs = []
         h = x
         for _ in range(self.num_resblocks):
-            for blk in blocks:
-                h = blk(h, train)
+            h = chain(h, train)
             outs.append(h)
         gate_in = jnp.concatenate(outs + long_term, axis=-1)
         g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -170,6 +197,7 @@ class MemNet(nn.Module):
     num_residual_blocks: int = 6
     features: int = 64
     dtype: Dtype = jnp.float32
+    remat_passes: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -184,6 +212,7 @@ class MemNet(nn.Module):
         for i in range(self.num_memory_blocks):
             h = _MemoryBlock(self.features, self.num_residual_blocks,
                              n_memories=i + 1, dtype=self.dtype,
+                             remat_passes=self.remat_passes,
                              name=f'memblock{i}')(h, long_term, train)
             long_term.append(h)
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,

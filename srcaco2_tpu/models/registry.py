@@ -47,6 +47,10 @@ def define_g(args: dict) -> nn.Module:
                       num_memory_blocks=_p(netG, nt, 'num_memory_blocks'),
                       num_residual_blocks=_p(netG, nt,
                                              'num_residual_blocks'),
+                      # per-pass remat of the R^2 recursion (identical
+                      # math; the order-based torch port needs False —
+                      # see _MemoryBlock docstring)
+                      remat_passes=netG.get('memnet_remat_passes', True),
                       dtype=dtype)
     if nt == constants.SWINIR:
         from srcaco2_tpu.models.swinir import SwinIR

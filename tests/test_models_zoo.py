@@ -56,6 +56,58 @@ def test_memnet():
     assert out['out'].shape == (1, 1, 16, 16)
 
 
+def test_memnet_remat_equivalence():
+    """remat_passes only changes activation memory: outputs, BN stat
+    updates, and grads must match the unrematted net (params ported
+    across the differing tree layouts by creation order)."""
+    from srcaco2_tpu.models.cnn_pre import MemNet
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0.5, 0.2, (2, 1, 8, 8)).astype(np.float32))
+    nets = {r: MemNet(in_chans=1, upscale=2, num_memory_blocks=2,
+                      num_residual_blocks=2, features=16,
+                      remat_passes=r) for r in (False, True)}
+    vs = {r: m.init(jax.random.key(0), x, train=False)
+          for r, m in nets.items()}
+    # same init seed need not give the same params across layouts;
+    # copy the unrematted leaves into the rematted tree by key path
+    # (the lift inserts a Checkpoint_MemChain_0 level — strip it).
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    def norm(k):
+        # the chain level is `_MemChain_0` plain, `Checkpoint_MemChain_0`
+        # under the remat lift — strip it either way
+        return tuple(p for p in k if 'MemChain' not in p)
+
+    src = {norm(k): v for k, v in flatten_dict(vs[False]).items()}
+    vs[True] = unflatten_dict({k: src[norm(k)]
+                               for k in flatten_dict(vs[True])})
+
+    def loss(params, collections, r):
+        out, muts = nets[r].apply(
+            {'params': params, **collections}, x, train=True,
+            mutable=['batch_stats'])
+        return jnp.sum(out['out'] ** 2), muts
+
+    res = {}
+    for r in (False, True):
+        params = vs[r]['params']
+        coll = {k: v for k, v in vs[r].items() if k != 'params'}
+        (val, muts), g = jax.value_and_grad(loss, has_aux=True)(
+            params, coll, r)
+        res[r] = (val,
+                  {norm(k): v for k, v in flatten_dict(g).items()},
+                  {norm(k): v for k, v in flatten_dict(muts).items()})
+    assert np.allclose(res[False][0], res[True][0], rtol=1e-6)
+    for which in (1, 2):
+        a, b = res[False][which], res[True][which]
+        assert set(a) == set(b)
+        for k in a:
+            # rtol: XLA fuses the two layouts differently; observed
+            # f32 reassociation noise is ~2e-4 relative on grads
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-4,
+                                       atol=1e-5, err_msg=str(k))
+
+
 def test_dfcan():
     from srcaco2_tpu.models.dfcan import DFCAN
     out, _ = _run(DFCAN(in_chans=1, upscale=4, n_resgroups=2),

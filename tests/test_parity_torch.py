@@ -113,10 +113,14 @@ def test_drrn():
 
 
 def test_memnet():
+    # remat_passes=False: the order-based port needs creation-ordered
+    # params (the remat lift canonicalizes them — same constraint as
+    # dbpn_remat_blocks below; math is identical either way)
     assert_close(*both_outputs(
         constants.MEMNET,
         shrink={'memnet_num_memory_blocks': 2,
-                'memnet_num_residual_blocks': 2}, in_hw=12), rtol=3e-5)
+                'memnet_num_residual_blocks': 2,
+                'memnet_remat_passes': False}, in_hw=12), rtol=3e-5)
 
 
 def test_swinir_fused():
