@@ -16,6 +16,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 import numpy as np
 
 
+def batch_caps():
+    """Per-net train-batch caps on a 16 GB chip (shared with
+    scripts/roofline_zoo.py so FLOP counts describe the measured
+    configs). Rationale in the comment block above the EVAL_B dict."""
+    from srcaco2_tpu import constants
+    return {constants.DBPN: 32, constants.DRRN: 32,
+            constants.MEMNET: 16, constants.GRL: 32,
+            constants.SRFBN: 16}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=15)
@@ -69,9 +79,7 @@ def main():
     # (SRFBN: per-step remat, models/srfbn.py remat_steps, lifts the
     # supported batch to 32 but measures slower — 180 vs 194 p/s —
     # so the default path stays batch 16 without remat.)
-    BATCH_CAP = {constants.DBPN: 32, constants.DRRN: 32,
-                 constants.MEMNET: 16, constants.GRL: 32,
-                 constants.SRFBN: 16}
+    BATCH_CAP = batch_caps()
     # 512^2 full-image eval forward batch (HBM-bound for attention
     # nets: NLSN's LSH one-hot is quadratic in token count at 64^2+).
     EVAL_B = {constants.NLSN: 1, constants.ENLCN: 1, constants.GRL: 1,

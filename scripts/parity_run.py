@@ -68,6 +68,8 @@ def main():
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--h_size', type=int, default=64)
     ap.add_argument('--n_tiles', type=int, default=24)
+    ap.add_argument('--n_test_tiles', type=int, default=2)
+    ap.add_argument('--n_valid_tiles', type=int, default=1)
     ap.add_argument('--cell', default='CELL0')
     ap.add_argument('--loss', default='l2ssim',
                     choices=['l2', 'l2ssim'],
@@ -119,8 +121,8 @@ def main():
                                      read_sigma=ns.read_sigma)
         counts = B.build_caco2_from_raw(
             sessions, root, hr_size=512, psize=128, del_border=8,
-            min_area=0.1, threshold=4.0, n_test_tiles=2,
-            n_valid_tiles=1)
+            min_area=0.1, threshold=4.0, n_test_tiles=ns.n_test_tiles,
+            n_valid_tiles=ns.n_valid_tiles)
         print('# built:', {k: v for k, v in counts.items()
                            if k.startswith('_') or 'CELL0' in k})
 

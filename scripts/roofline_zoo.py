@@ -44,9 +44,9 @@ def main():
     from srcaco2_tpu.train.steps import make_train_step
 
     scale, h_size = ns.scale, 128
-    BATCH_CAP = {constants.DBPN: 32, constants.DRRN: 32,
-                 constants.MEMNET: 16, constants.GRL: 32,
-                 constants.SRFBN: 16}
+    from scripts.bench_zoo import batch_caps
+    BATCH_CAP = batch_caps()   # shared: FLOPs must describe the same
+                               # configs bench_zoo measured
     rng = np.random.default_rng(0)
     n_img = 8
     hr = jnp.asarray(rng.integers(0, 256, (n_img, 512, 512, 1)),

@@ -161,8 +161,11 @@ def rich_cell_tile(rng: np.random.Generator, size: int = 512,
         n_f = max(3, int(14 * rel * rel))
         for _ in range(n_f):
             p = ii[rng.integers(0, len(ii))]
+            # keep high > low for tiles smaller than ~128 px, where
+            # 350*rel would drop to/below the 80-step minimum
+            hi_steps = max(81, int(350 * max(rel, 0.2)))
             _filament(rng, img, (float(p[0]), float(p[1])),
-                      n_steps=int(rng.integers(80, 350 * max(rel, 0.2))),
+                      n_steps=int(rng.integers(80, hi_steps)),
                       amp=rng.uniform(25, 70))
     img += rng.normal(0, 1.0, img.shape)  # faint camera background
     return np.clip(img, 0, 255).astype(np.uint8)

@@ -90,21 +90,15 @@ def build_dict(pairs: List[Tuple[np.ndarray, np.ndarray]], sz: int
             'probs': probs, 'n': n_per.astype(np.int32), 'sz': sz}
 
 
-def knn_restore(l_img: np.ndarray, dictionary: Dict, k: int = 1,
-                seed: int = 0, chunk: int = 2048,
-                ring_c: float = 300.0) -> np.ndarray:
-    """Reconstruct the x2 HR image of `l_img` by exact k-NN over the
-    dictionary (ring-weighted L1), sampling one HR atom per pixel from
-    the matched entry's empirical distribution (k>1: a uniformly
-    chosen neighbour's distribution). Returns uint8 (2h, 2w)."""
-    sz = dictionary['sz']
-    queries, _ = extract_pairs(l_img, np.zeros(
-        (2 * l_img.shape[0], 2 * l_img.shape[1]), l_img.dtype), sz)
+def chunked_knn(queries, atoms_l, ring, k: int = 1,
+                chunk: int = 2048):
+    """Exact ring-weighted-L1 k-NN: (n, f) queries over (M, f)
+    dictionary rows, jit-compiled in fixed-size chunks (one compile,
+    padded tail). Returns (n, k) neighbour indices. Shared by
+    knn_restore and patch_dict's knn fallback."""
     q = jnp.asarray(queries, jnp.float32)
-    d = jnp.asarray(dictionary['atoms_l'])            # (M, sz*sz)
-    ring = jnp.asarray(ring_weights(sz, ring_c).reshape(-1))
-    probs = jnp.asarray(dictionary['probs'])          # (M, A)
-    atoms_h = jnp.asarray(dictionary['atoms_h'])      # (M, A, 4)
+    d = jnp.asarray(atoms_l)
+    ring = jnp.asarray(ring)
 
     @jax.jit
     def topk_chunk(qc):
@@ -117,7 +111,25 @@ def knn_restore(l_img: np.ndarray, dictionary: Dict, k: int = 1,
     qp = jnp.pad(q, ((0, pad), (0, 0)))
     idxs = [topk_chunk(qp[i:i + chunk]) for i in range(0, n + pad,
                                                        chunk)]
-    nbr = jnp.concatenate(idxs, 0)[:n]                # (n, k)
+    return jnp.concatenate(idxs, 0)[:n]               # (n, k)
+
+
+def knn_restore(l_img: np.ndarray, dictionary: Dict, k: int = 1,
+                seed: int = 0, chunk: int = 2048,
+                ring_c: float = 300.0) -> np.ndarray:
+    """Reconstruct the x2 HR image of `l_img` by exact k-NN over the
+    dictionary (ring-weighted L1), sampling one HR atom per pixel from
+    the matched entry's empirical distribution (k>1: a uniformly
+    chosen neighbour's distribution). Returns uint8 (2h, 2w)."""
+    sz = dictionary['sz']
+    queries, _ = extract_pairs(l_img, np.zeros(
+        (2 * l_img.shape[0], 2 * l_img.shape[1]), l_img.dtype), sz)
+    probs = jnp.asarray(dictionary['probs'])          # (M, A)
+    atoms_h = jnp.asarray(dictionary['atoms_h'])      # (M, A, 4)
+    n = queries.shape[0]
+    nbr = chunked_knn(queries, dictionary['atoms_l'],
+                      ring_weights(sz, ring_c).reshape(-1), k=k,
+                      chunk=chunk)                    # (n, k)
     key = jax.random.key(seed)
     kq, ks = jax.random.split(key)
     pick = jax.random.randint(kq, (n,), 0, k)

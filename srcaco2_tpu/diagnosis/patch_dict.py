@@ -37,13 +37,22 @@ import jax
 import jax.numpy as jnp
 
 from srcaco2_tpu.diagnosis.knn_patches import (
-    build_dict, extract_pairs, ring_weights)
+    build_dict, chunked_knn, extract_pairs, ring_weights)
 
 
 def _hash_index(dictionary: Dict) -> Dict[bytes, int]:
     """bytes(LR patch uint8) -> dictionary row, built once."""
     atoms_u8 = dictionary['atoms_l'].astype(np.uint8)
     return {a.tobytes(): i for i, a in enumerate(atoms_u8)}
+
+
+def _sample_rows(probs: np.ndarray, rng) -> np.ndarray:
+    """Inverse-CDF sample one atom index per row of (n, A) probs.
+    The float32 cumsum tail can undershoot 1.0 by ~5e-7, in which
+    case `u > all bins` would index A (out of bounds) — clamp."""
+    c = probs.cumsum(1)
+    u = rng.random((len(c), 1))
+    return np.minimum((u > c).sum(1), probs.shape[1] - 1)
 
 
 def dict_stats(dictionary: Dict) -> Dict:
@@ -96,9 +105,7 @@ def exact_match_restore(l_img: np.ndarray, dictionary: Dict,
     if hit.any():
         probs = dictionary['probs'][ent[hit]]          # (nh, A)
         if sample:
-            c = probs.cumsum(1)
-            u = rng.random((len(c), 1))
-            a_i = (u > c).sum(1)
+            a_i = _sample_rows(probs, rng)
         else:
             a_i = probs.argmax(1)
         atoms[hit] = dictionary['atoms_h'][ent[hit], a_i]
@@ -106,26 +113,13 @@ def exact_match_restore(l_img: np.ndarray, dictionary: Dict,
     miss = ~hit
     if miss.any():
         if fallback == 'knn':
-            d = jnp.asarray(dictionary['atoms_l'])
-            ring = jnp.asarray(ring_weights(sz, ring_c).reshape(-1))
-
-            @jax.jit
-            def nn_chunk(qc):
-                dist = jnp.sum(jnp.abs(qc[:, None, :] - d[None])
-                               * ring, -1)
-                return jnp.argmin(dist, -1)
-
-            qm = jnp.asarray(queries[miss], jnp.float32)
-            pad = (-qm.shape[0]) % chunk
-            qp = jnp.pad(qm, ((0, pad), (0, 0)))
-            nn = np.concatenate(
-                [np.asarray(nn_chunk(qp[i:i + chunk]))
-                 for i in range(0, qp.shape[0], chunk)])[:qm.shape[0]]
+            nn = np.asarray(chunked_knn(
+                queries[miss], dictionary['atoms_l'],
+                ring_weights(sz, ring_c).reshape(-1),
+                chunk=chunk))[:, 0]
             pm = dictionary['probs'][nn]
             if sample:
-                c = pm.cumsum(1)
-                u = rng.random((len(c), 1))
-                a_i = (u > c).sum(1)
+                a_i = _sample_rows(pm, rng)
             else:
                 a_i = pm.argmax(1)
             atoms[miss] = dictionary['atoms_h'][nn, a_i]

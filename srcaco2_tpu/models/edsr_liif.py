@@ -53,8 +53,14 @@ def _ensemble_gather(z, iy, ix):
         hl, wl = z.shape[1], z.shape[2]
         oy = jnp.asarray(np.eye(hl, dtype=np.float32)[iy], z.dtype)
         ox = jnp.asarray(np.eye(wl, dtype=np.float32)[ix], z.dtype)
-        zp = jnp.einsum('ph,bhwc->bpwc', oy, z)
-        return jnp.einsum('qw,bpwc->bpqc', ox, zp)
+        # HIGHEST keeps the 0/1-factor products exact when z is f32:
+        # the TPU backend's DEFAULT precision routes f32 dots through
+        # one bf16 pass, which would round every gathered latent
+        # (bf16 operands are a single pass either way, so AMP keeps
+        # the measured throughput win).
+        hi = jax.lax.Precision.HIGHEST
+        zp = jnp.einsum('ph,bhwc->bpwc', oy, z, precision=hi)
+        return jnp.einsum('qw,bpwc->bpqc', ox, zp, precision=hi)
     return z[:, iy][:, :, ix]
 
 

@@ -152,11 +152,12 @@ class FusedBlockStack(nn.Module):
     mlp_ratio: float
     dtype: Dtype = jnp.float32
     use_pallas: str = 'auto'      # 'auto' | 'never' | 'interpret'
-    allow_tiled: bool = True      # full-image tiled kernel path is
-                                  # FORWARD-ONLY (no VJP): callers that
-                                  # may differentiate at full-image
-                                  # shapes must pass False (SwinIR
-                                  # passes `not train`)
+    allow_tiled: bool = False     # full-image tiled kernel path is
+                                  # FORWARD-ONLY (no VJP), so it is
+                                  # OPT-IN: default-safe for any
+                                  # caller that may differentiate at
+                                  # full-image shapes. SwinIR opts in
+                                  # with `not train` for eval.
 
     def _params(self):
         d, c = self.depth, self.dim

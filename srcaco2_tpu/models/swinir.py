@@ -201,8 +201,9 @@ class RSTB(nn.Module):
     remat_blocks: bool = True
     fused: bool = False           # fused VMEM block kernel (swin_fused)
     fused_mode: str = 'auto'      # 'auto' | 'never' | 'interpret'
-    fused_tiled: bool = True      # allow the forward-only tiled
-                                  # full-image kernel (False in train)
+    fused_tiled: bool = False     # opt-in: forward-only tiled
+                                  # full-image kernel (SwinIR passes
+                                  # `not train`)
 
     @nn.compact
     def __call__(self, x):
@@ -262,7 +263,7 @@ class _ScanRSTB(nn.Module):
     use_pallas: bool = False
     fused: bool = False
     fused_mode: str = 'auto'
-    fused_tiled: bool = True
+    fused_tiled: bool = False
 
     @nn.compact
     def __call__(self, x, _):

@@ -245,7 +245,8 @@ def test_tiled_eval_matches_windowed(hw):
     h, w = hw
     r = np.random.default_rng(7)
     xs = jnp.asarray(r.normal(0, 1, (2, h, w, C)), F32)
-    m_t = FusedBlockStack(C, D, NH, WS, 2.0, use_pallas='interpret')
+    m_t = FusedBlockStack(C, D, NH, WS, 2.0, use_pallas='interpret',
+                          allow_tiled=True)
     m_w = FusedBlockStack(C, D, NH, WS, 2.0, use_pallas='never')
     params = m_t.init(jax.random.key(0), xs)
     yt = m_t.apply(params, xs)            # t=h*w > MAX_T -> tiled
