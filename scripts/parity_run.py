@@ -179,8 +179,10 @@ def main():
     trained = {}
     # test numbers: average the per-image test details written by
     # evaluate_test (best-models/details_test_<ds>.yml)
+    # filter to THIS run's datasets: the root may hold experiments from
+    # other (net, scale) runs whose yamls the recursive glob also finds
     for df in glob.glob(os.path.join(root, 'exps', '**',
-                                     'details_test_*.yml'),
+                                     f'details_test_{test_ds}.yml'),
                         recursive=True):
         with open(df) as f:
             det = yaml.safe_load(f)
@@ -191,7 +193,8 @@ def main():
                     m: float(np.mean([v[m] for v in vals]))
                     for m in vals[0]}
     for sf in glob.glob(os.path.join(root, 'exps', '**',
-                                     '*summary*.yaml'), recursive=True):
+                                     f'*summary*{valid_ds}*.yaml'),
+                        recursive=True):
         with open(sf) as f:
             trained[os.path.basename(sf)] = yaml.safe_load(f)
 
@@ -215,6 +218,8 @@ def main():
     curves = {}
     for tf in glob.glob(os.path.join(root, 'exps', '**', 'tracker.pkl'),
                         recursive=True):
+        if train_ds not in tf:   # another run's experiment in this root
+            continue
         with open(tf, 'rb') as f:
             trk = pickle.load(f)
         tr = trk.get(constants.TRAINSET, trk.get('train', {}))
