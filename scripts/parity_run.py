@@ -96,6 +96,11 @@ def main():
     ap.add_argument('--tag', default='',
                     help='suffix for the output yaml name')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--aligned', default=None,
+                    help='True: exactly-aligned LR/HR train crops '
+                         '(beyond-reference; default keeps the '
+                         "reference's floor-division crop whose pairs "
+                         'misalign by up to scale-1 px)')
     ap.add_argument('--photon_coef', type=float, default=8.0,
                     help='LR shot-noise strength (degrade_lr); 0 with '
                          '--read_sigma 0 gives the structure-dominated '
@@ -163,6 +168,8 @@ def main():
         cmd += ['--swinir_use_fused_blocks', ns.fused]
     if ns.amp is not None:
         cmd += ['--amp', ns.amp]
+    if ns.aligned is not None:
+        cmd += ['--train_aligned_crops', ns.aligned]
     print('#', ' '.join(cmd))
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=root, env=env)
@@ -250,7 +257,7 @@ def main():
                    'photon_coef': ns.photon_coef,
                    'read_sigma': ns.read_sigma,
                    'fused': ns.fused, 'amp': ns.amp,
-                   'warmup': ns.warmup,
+                   'aligned': ns.aligned, 'warmup': ns.warmup,
                    'optimizer': ns.optimizer or 'adam'},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},

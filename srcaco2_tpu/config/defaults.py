@@ -152,6 +152,12 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
         "sample_tr_patch": constants.SAMPLE_UNIF,
         "sample_tr_patch_th_style": constants.TH_AUTO,
         "sample_tr_patch_th": constants.TH_AUTO,
+        # False = reference-exact paired crop (HR origin on the HR
+        # grid, LR origin = origin // scale: pairs misaligned by up to
+        # scale-1 HR px — dataset_dpsr.py:866-877). True snaps origins
+        # to the LR grid (exact alignment; beyond-reference option,
+        # see data/pipeline.PipeConfig and docs/QUALITY.md).
+        "train_aligned_crops": False,
         # ----------------------------------------------------------- losses
         "l1": False, "l1_use_residuals": False, "l1_lambda": 1.,
         "l2": False, "l2_use_residuals": False, "l2_lambda": 1.,

@@ -55,6 +55,16 @@ class PipeConfig:
     da_add_gaus_noise_area: float = 0.3
     da_add_gaus_noise_std: float = 0.03
     ppiw: bool = False
+    # Reference-exact crops (False): the HR origin is drawn on the HR
+    # grid and the LR origin is its floor division
+    # (dataset_dpsr.py:866-877 `rnd_h_l = rnd_h_h // self.sf`), so the
+    # input/target pair is misaligned by (origin mod scale) HR pixels —
+    # up to scale-1. That quirk caps what training can learn (it is a
+    # plausible mechanism for the reference's own published x4/x8 rows
+    # sitting at/below the bicubic floor). aligned_crops=True snaps the
+    # origin to the LR grid (exactly aligned pairs) — a deliberate
+    # BEYOND-reference option (docs/QUALITY.md crop-alignment study).
+    aligned_crops: bool = False
 
     @property
     def l_size(self):
@@ -80,7 +90,8 @@ def from_args(args: dict) -> PipeConfig:
         da_add_gaus_noise_prob=args['da_add_gaus_noise_prob'],
         da_add_gaus_noise_area=args['da_add_gaus_noise_area'],
         da_add_gaus_noise_std=args['da_add_gaus_noise_std'],
-        ppiw=args['ppiw'])
+        ppiw=args['ppiw'],
+        aligned_crops=bool(args.get('train_aligned_crops', False)))
 
 
 # ----------------------------------------------------------------- helpers
@@ -251,6 +262,11 @@ def make_train_batch(hr_u8: jax.Array, lr_u8: jax.Array,
             x0, y0 = _sample_origin(k_orig, l2h_u8, cfg)
         xl = x0 // sf
         yl = y0 // sf
+        if cfg.aligned_crops:
+            # beyond-reference: snap the HR origin to the LR grid so
+            # the (l_im, h_im) pair is exactly aligned (see PipeConfig)
+            x0 = xl * sf
+            y0 = yl * sf
         h_patch = jax.lax.dynamic_slice(
             hr_img, (x0, y0, 0), (hs, hs, hr_img.shape[2]))
         l_patch = jax.lax.dynamic_slice(

@@ -92,6 +92,37 @@ def test_train_batch_lr_hr_aligned(synth_root):
     assert checked >= 1
 
 
+def test_aligned_crops_exact_vs_reference_offset():
+    """aligned_crops=True must produce EXACTLY aligned (l_im, h_im)
+    pairs; the default (reference-exact dataset_dpsr.py:866-877
+    floor-division crop) misaligns by (origin mod scale) HR px. HR is
+    a linear ramp in x and LR its exact block-mean, so the offset of
+    each pair is readable from the patch means: for a ramp of slope 1,
+    mean(h) - mean(up(l)) == the misalignment in pixels."""
+    sf, hs = 4, 32
+    H = 256
+    ramp = np.tile(np.arange(H, dtype=np.float32), (H, 1))
+    hr = np.clip(ramp, 0, 255).astype(np.uint8)[None, :, :, None]
+    lr = hr[0, :, :, 0].astype(np.float32).reshape(
+        H // sf, sf, H // sf, sf).mean((1, 3))
+    lr = np.round(lr).astype(np.uint8)[None, :, :, None]
+    hr_d, lr_d = jnp.asarray(hr), jnp.asarray(lr)
+    offs = {}
+    for aligned in (False, True):
+        cfg = P.PipeConfig(scale=sf, h_size=hs, aligned_crops=aligned)
+        b = P.make_train_batch(hr_d, lr_d, jnp.zeros(64, jnp.int32),
+                               jax.random.key(5), cfg)
+        # undo the joint dihedral aug via means (mode-invariant)
+        mh = np.asarray(b['h_im']).mean((1, 2, 3)) * 255.0
+        ml = np.asarray(b['l_im']).mean((1, 2, 3)) * 255.0
+        offs[aligned] = mh - ml
+    # aligned: every pair's mean offset ~0 (quantization only)
+    assert np.abs(offs[True]).max() < 1.0, offs[True]
+    # reference crop: offsets spread over 0..sf-1 px
+    assert np.abs(offs[False]).max() > 1.5, offs[False]
+    assert np.abs(offs[False]).min() < 1.0
+
+
 def test_roi_sampling_biases_to_cells(synth_root):
     root, names = synth_root
     ds = load_dataset(_args(root), names[0], 'train').stage()
