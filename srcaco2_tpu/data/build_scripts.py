@@ -347,8 +347,20 @@ def _warp(img: np.ndarray, v: np.ndarray, u: np.ndarray) -> np.ndarray:
 
 
 def _nearest_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    ys = (np.arange(oh) * img.shape[0] / oh).astype(int)
-    xs = (np.arange(ow) * img.shape[1] / ow).astype(int)
+    """PIL-NEAREST convention (caco2_resample.py:492,513 uses
+    Image.resize(resample=NEAREST)): the output pixel CENTER maps to
+    the source coordinate, so an s-fold downsample picks row s*y +
+    s//2 (the block center), not the corner s*y. The corner
+    convention this function originally used shifted every built LR
+    by (s-1)/2 px relative to its HR — a systematic ~1.5 px at x4
+    that a 9x9 ridge probe on the built benchmark measured as ~2.2 dB
+    of (spurious) restorable margin, and that the 8-way dihedral
+    augmentation makes unlearnable for any translation-equivariant
+    net (docs/QUALITY.md registration study)."""
+    ys = np.minimum(((np.arange(oh) + 0.5) * img.shape[0] / oh
+                     ).astype(int), img.shape[0] - 1)
+    xs = np.minimum(((np.arange(ow) + 0.5) * img.shape[1] / ow
+                     ).astype(int), img.shape[1] - 1)
     return img[ys][:, xs]
 
 

@@ -104,6 +104,47 @@ def test_raw_to_dataset_roundtrip(tmp_path):
     assert bool(jnp.all(jnp.isfinite(batch['h_im'])))
 
 
+def test_nearest_resize_matches_pil_center_convention():
+    """The builder's resizes must match the reference's PIL NEAREST
+    (caco2_resample.py:492,513): the output pixel CENTER maps to the
+    source coordinate, so an s-fold downsample samples the BLOCK
+    CENTER (s*y + s//2), not the corner s*y. The corner convention
+    shifted every built LR by (s-1)/2 px against its HR (~1.5 px at
+    x4 — measured as ~2.2 dB of spurious 'restorable margin' by the
+    ridge probe in docs/QUALITY.md)."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for ih, oh in [(128, 64), (128, 32), (128, 16), (16, 128),
+                   (32, 128)]:
+        img = rng.integers(0, 256, (ih, ih)).astype(np.uint8)
+        ours = B._nearest_resize(img, oh, oh)
+        pil = np.array(Image.fromarray(img).resize(
+            (oh, oh), resample=Image.NEAREST))
+        np.testing.assert_array_equal(ours, pil, err_msg=f'{ih}->{oh}')
+
+
+def test_register_im_preserves_grid_alignment():
+    """register_im of an ALREADY-ALIGNED (hr, blockmean-lr) pair must
+    return an LR whose bicubic upsample is centered on the HR grid:
+    on a linear ramp, the mean difference reads the misalignment in
+    pixels directly (the old corner-sampling downscale returned a
+    ~(s-1)/2-px-shifted LR)."""
+    s = 4
+    ramp = np.tile(np.arange(128, dtype=np.float32), (128, 1))
+    hr = np.stack([ramp, ramp.T, (ramp + ramp.T) / 2]).astype(np.uint8)
+    low = hr.astype(np.float32).reshape(3, 32, s, 32, s).mean(
+        (2, 4)).round().astype(np.uint8)
+    reg, ref_c = B.register_im(hr, low, scale=s, del_border=8,
+                               global_shift=True)
+    # block-center expectation of the cropped reference
+    exp = ref_c.astype(np.float32).reshape(
+        3, ref_c.shape[1] // s, s, ref_c.shape[2] // s, s).mean((2, 4))
+    # interior only (warp edge effects)
+    d = (reg.astype(np.float32) - exp)[:, 2:-2, 2:-2]
+    # ramp slope is 1/px in HR units: the mean difference IS the shift
+    assert abs(d.mean()) < 0.75, d.mean()
+
+
 def test_registration_recovers_global_shift():
     """A pure translation between low and high acquisitions is
     recovered by register_im (global_shift mode) to <=1px."""
