@@ -170,6 +170,10 @@ def main():
         cmd += ['--amp', ns.amp]
     if ns.aligned is not None:
         cmd += ['--train_aligned_crops', ns.aligned]
+    if ns.tag:
+        # distinct exp dir per arm — otherwise a second arm sharing the
+        # root hits the previous arm's passed.txt sentinel and exits
+        cmd += ['--exp_id', ns.tag.strip('_') or 'run']
     print('#', ' '.join(cmd))
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=root, env=env)
@@ -184,13 +188,20 @@ def main():
     bi = eval_bicubic(root, root, ns.scale, ns.cell)
     # trained test numbers from the experiment's summary yaml
     trained = {}
+    exp_id = (ns.tag.strip('_') or 'run') if ns.tag else '123456789'
+
+    def this_run(path):
+        return f'id_{exp_id}-' in path
+
     # test numbers: average the per-image test details written by
     # evaluate_test (best-models/details_test_<ds>.yml)
-    # filter to THIS run's datasets: the root may hold experiments from
-    # other (net, scale) runs whose yamls the recursive glob also finds
-    for df in glob.glob(os.path.join(root, 'exps', '**',
-                                     f'details_test_{test_ds}.yml'),
-                        recursive=True):
+    # filter to THIS run's datasets AND exp id: the root may hold
+    # experiments from other (net, scale, arm) runs whose yamls the
+    # recursive glob also finds
+    for df in filter(this_run, glob.glob(
+            os.path.join(root, 'exps', '**',
+                         f'details_test_{test_ds}.yml'),
+            recursive=True)):
         with open(df) as f:
             det = yaml.safe_load(f)
         if isinstance(det, dict) and det:
@@ -199,9 +210,10 @@ def main():
                 trained[os.path.basename(df)] = {
                     m: float(np.mean([v[m] for v in vals]))
                     for m in vals[0]}
-    for sf in glob.glob(os.path.join(root, 'exps', '**',
-                                     f'*summary*{valid_ds}*.yaml'),
-                        recursive=True):
+    for sf in filter(this_run, glob.glob(
+            os.path.join(root, 'exps', '**',
+                         f'*summary*{valid_ds}*.yaml'),
+            recursive=True)):
         with open(sf) as f:
             trained[os.path.basename(sf)] = yaml.safe_load(f)
 
@@ -225,7 +237,8 @@ def main():
     curves = {}
     for tf in glob.glob(os.path.join(root, 'exps', '**', 'tracker.pkl'),
                         recursive=True):
-        if train_ds not in tf:   # another run's experiment in this root
+        # another run's experiment in this root
+        if train_ds not in tf or not this_run(tf):
             continue
         with open(tf, 'rb') as f:
             trk = pickle.load(f)
