@@ -277,9 +277,13 @@ def main():
         'trained_test': {k: scalars(v) for k, v in trained.items()},
         'curves': curves,
     }
+    # non-CELL0 arms get the cell in the name: without it a CELL1 run
+    # silently overwrites the committed CELL0 yaml of the same
+    # (net, scale, tag)
+    cell_tag = '' if ns.cell == 'CELL0' else f'_{ns.cell}'
     fname = 'PARITY_RUN.yaml' if (ns.net == 'VDSR'
                                   and ns.scale == 2 and not ns.tag) else \
-        f'PARITY_RUN_{ns.net}_x{ns.scale}{ns.tag}.yaml'
+        f'PARITY_RUN_{ns.net}_x{ns.scale}{cell_tag}{ns.tag}.yaml'
     out_path = os.path.join(REPO, 'srcaco2_tpu', 'diagnosis', fname)
     with open(out_path, 'w') as f:
         yaml.safe_dump(out, f, sort_keys=False)
