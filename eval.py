@@ -22,7 +22,8 @@ from srcaco2_tpu.utils import tracker as T
 from srcaco2_tpu.utils.logger import DLLogger, fmsg
 
 
-def evaluate_pretrained(exp_path: str, split: str = constants.TESTSET):
+def evaluate_pretrained(exp_path: str, split: str = constants.TESTSET,
+                        over_roi: bool = None):
     cfg_path = os.path.join(exp_path, 'config_model.yml')
     assert os.path.isfile(cfg_path), cfg_path
     with open(cfg_path) as f:
@@ -30,6 +31,12 @@ def evaluate_pretrained(exp_path: str, split: str = constants.TESTSET):
     args['is_train'] = False
     args['distributed'] = False
     args['abs_fd_exp'] = os.path.abspath(exp_path)
+    if over_roi is not None:
+        # re-score a finished exp over ROI even if it trained with the
+        # ROI pass off (reference: eval_over_roi_also,
+        # utils_config.py; the ROI headline table doc/roi-perf.png
+        # is produced this way).
+        args['eval_over_roi_also'] = bool(over_roi)
 
     outd = os.path.join(exp_path, f'eval_test_{split}')
     os.makedirs(outd, exist_ok=True)
@@ -52,8 +59,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--exp_path', required=True)
     p.add_argument('--split', default=constants.TESTSET)
+    p.add_argument('--eval_over_roi_also', default=None,
+                   help='True/False: override the saved config (re-score '
+                        'a finished exp over ROI)')
     ns = p.parse_args()
-    evaluate_pretrained(ns.exp_path, ns.split)
+    over_roi = None
+    if ns.eval_over_roi_also is not None:
+        over_roi = str(ns.eval_over_roi_also).lower() in ('1', 'true', 'yes')
+    evaluate_pretrained(ns.exp_path, ns.split, over_roi)
 
 
 if __name__ == '__main__':
