@@ -41,6 +41,12 @@ def main():
                          '-> 1533 patches/s (K=8), +1.2%%.')
     ns = ap.parse_args()
 
+    # Keep the benchmark on the bf16 softmax chain: the framework-wide
+    # default flipped to f32 softmax for quality (docs/QUALITY.md
+    # fused-vs-windowed A/B), but the throughput number tracked across
+    # rounds is defined on the bf16 chain (docs/BENCH_ANALYSIS.md).
+    os.environ.setdefault('SRCACO2_SWIN_F32_SOFTMAX', '0')
+
     import jax
     # persistent compile cache: the flagship program takes minutes to
     # compile via the remote-compile relay; cache across processes.

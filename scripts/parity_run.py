@@ -109,6 +109,11 @@ def main():
                          'not denoising — see docs/QUALITY.md')
     ap.add_argument('--read_sigma', type=float, default=2.5,
                     help='LR read-noise sigma (degrade_lr)')
+    ap.add_argument('--ema', type=float, default=0.0,
+                    help='E_decay > 0: maintain the netE EMA at this '
+                         'decay AND evaluate/select/test on it '
+                         '(train.eval_netE) — the round-4 EMA arm for '
+                         'the flagship quality-signature study')
     ap.add_argument('--amp', default=None,
                     help='True/False: bf16 AMP training (the fused-vs-'
                          'windowed numerics A/B runs under AMP, where '
@@ -168,6 +173,8 @@ def main():
         cmd += ['--swinir_use_fused_blocks', ns.fused]
     if ns.amp is not None:
         cmd += ['--amp', ns.amp]
+    if ns.ema > 0:
+        cmd += ['--E_decay', str(ns.ema), '--eval_netE', 'True']
     if ns.aligned is not None:
         cmd += ['--train_aligned_crops', ns.aligned]
     if ns.tag:
@@ -269,7 +276,7 @@ def main():
                    'seed': ns.seed, 'tiles': 'rich',
                    'photon_coef': ns.photon_coef,
                    'read_sigma': ns.read_sigma,
-                   'fused': ns.fused, 'amp': ns.amp,
+                   'fused': ns.fused, 'amp': ns.amp, 'ema': ns.ema,
                    'aligned': ns.aligned, 'warmup': ns.warmup,
                    'optimizer': ns.optimizer or 'adam'},
         'bicubic_test': {'full': scalars(bi.get('full', {})),

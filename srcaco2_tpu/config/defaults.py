@@ -72,6 +72,13 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
         },
         "train": {
             "E_decay": 0.0,                  # EMA decay; 0 disables netE.
+            # Evaluate/select/test on netE (the EMA weights) instead of
+            # netG when E_decay > 0. Beyond-reference: the reference
+            # maintains + checkpoints netE (model_base.py:214) but its
+            # test() always runs netG (model_plain.py:398); this flag
+            # opts validation/model-selection/test onto the smoothed
+            # weights (standard EMA practice the machinery exists for).
+            "eval_netE": False,
             "G_optimizer_type": constants.ADAM,
             "G_optimizer_lr": 2e-4,
             "G_optimizer_wd": 1e-4,

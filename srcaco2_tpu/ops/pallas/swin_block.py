@@ -74,8 +74,14 @@ def _env_cfg() -> _Cfg:
         ablate=frozenset(
             x for x in os.environ.get('SRCACO2_SWIN_BWD_ABLATE',
                                       '').split(',') if x),
+        # Default ON (round-4 flip): the fused-vs-windowed long-run A/B
+        # (docs/QUALITY.md) measured the bf16 softmax chain at -0.45 dB
+        # final PSNR for a 0.6% throughput cost, so the production /
+        # main.py path defaults to the quality-correct f32 numerics.
+        # bench.py pins =0 to keep the throughput benchmark's bf16
+        # chain comparable across rounds.
         f32_softmax=os.environ.get('SRCACO2_SWIN_F32_SOFTMAX',
-                                   '0') != '0',
+                                   '1') != '0',
         ib_rows=int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512')),
         vmem_mb=float(vm) if vm else None,
         pair=os.environ.get('SRCACO2_SWIN_PAIR', '0') != '0')

@@ -133,6 +133,8 @@ class Experiment:
 
         e_decay = float(args['train'].get('E_decay', 0.0) or 0.0)
         self.e_decay = e_decay
+        self.eval_netE = e_decay > 0 and bool(
+            args['train'].get('eval_netE', False))
         self.state = TrainState.create(
             params, self.tx, e_decay,
             elb_init_t=float(args.get('elb_init_t', 1.0)),
@@ -183,8 +185,10 @@ class Experiment:
                 _ds.stage(rep)
         # superstep (steps.py make_train_step): scan K optimizer
         # updates per dispatch — dispatch-bound small models gain up
-        # to the full dispatch overhead back; single-chip only.
-        self.steps_per_call = 1 if self.mesh is not None else max(
+        # to the full dispatch overhead back. Works under a mesh too
+        # (round 4): the scan body shards per step, so the gradient
+        # all-reduce still happens every optimizer update.
+        self.steps_per_call = max(
             1, int(args['train'].get('train_steps_per_call', 1) or 1))
         self.train_step = make_train_step(
             self.model, self.master, self.tx, nt, self.pipe_cfg,
@@ -249,6 +253,15 @@ class Experiment:
             T.init_tracker(self.master.names, eval_names)
 
     # ------------------------------------------------------------ helpers
+    def eval_params(self):
+        """Weights used for validation / model selection / test: netE
+        (EMA) when train.eval_netE and E_decay > 0, else netG. The
+        reference keeps netE checkpointed but always tests netG
+        (model_plain.py:398); eval_netE opts onto the EMA weights."""
+        if self.eval_netE and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def resume(self) -> int:
         self.state, step = CKPT.load_checkpoint(
             self.exp_dir, self.state,
@@ -265,7 +278,7 @@ class Experiment:
             img_dir = os.path.join(self.exp_dir, args['save_dir_imgs'],
                                    constants.VALIDSET, ds.name)
             os.makedirs(img_dir, exist_ok=True)
-            perf = fast_eval(self.forward, self.state.params, ds, args,
+            perf = fast_eval(self.forward, self.eval_params(), ds, args,
                              int(args['eval_bsize']), constants.VALIDSET,
                              save_img_dir=img_dir, current_step=step,
                              track_evolution_img=True)
@@ -280,7 +293,7 @@ class Experiment:
                 if args.get('eval_over_roi_also_model_select', False):
                     is_best = roi_best
             if is_best and args.get('is_master', True):
-                CKPT.save_best(self.exp_dir, self.state.params,
+                CKPT.save_best(self.exp_dir, self.eval_params(),
                                ds.name if multi else None)
                 safe = ds.name.replace('/', '_')
                 bd = os.path.join(self.exp_dir, 'best-models')
@@ -308,7 +321,7 @@ class Experiment:
         for ds in self.test_sets:
             if ds.hr_dev is None:
                 ds.stage()
-            params = self.state.params
+            params = self.eval_params()
             if use_best:
                 try:
                     vds = None

@@ -66,6 +66,46 @@ def test_resume_restores_step(tiny_exp):
     assert int(exp.state.step) == 4
 
 
+def test_ema_eval_netE(tmp_path):
+    """E_decay > 0 + train.eval_netE: validation/model-selection/test
+    run on the EMA weights (round-4 EMA arm wiring). The reference only
+    checkpoints netE (model_base.py:214); eval_netE is the documented
+    beyond-reference opt-in."""
+    import jax
+    import numpy as np
+    root = str(tmp_path)
+    from srcaco2_tpu.data.synthetic import make_synthetic_dataset
+    from srcaco2_tpu.train.trainer import Experiment
+    names = make_synthetic_dataset(root, scale=2, cell='CELL0',
+                                   n_train=4, n_val=1, n_test=1, size=32)
+    args = get_args([
+        '--net_type', 'SRCNN', '--scale', '2', '--h_size', '16',
+        '--n_channels', '1',
+        '--train_dsets', names[0], '--valid_dsets', names[1],
+        '--test_dsets', names[2],
+        '--data_root', root, '--splits_root', root,
+        '--l2', 'True', '--max_epochs', '1', '--batch_size', '2',
+        '--eval_bsize', '1', '--checkpoint_eval', '1.0',
+        '--checkpoint_save', '1.0', '--G_optimizer_lr', '0.01',
+        '--E_decay', '0.99', '--eval_netE', 'True'])
+    args['abs_fd_exp'] = os.path.join(root, 'exp')
+    os.makedirs(args['abs_fd_exp'], exist_ok=True)
+    exp = Experiment(args)
+    assert exp.eval_netE is True
+    exp.train_valid()
+    assert exp.state.ema_params is not None
+    # eval_params() returns the EMA tree, which lags the raw params
+    ev = exp.eval_params()
+    assert ev is exp.state.ema_params
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(ev),
+                             jax.tree.leaves(exp.state.params))]
+    assert max(diffs) > 0.0
+    # without the flag, eval_params() is the raw params
+    exp.eval_netE = False
+    assert exp.eval_params() is exp.state.params
+
+
 def test_superstep_equivalent():
     """K lax.scan'ed steps (steps_per_call) must equal K dispatched
     steps: same per-step RNG folds, optimizer, EMA. Losses match
