@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Rebuild the registration-fixed 256-tile benchmark (big2) exactly as
+round 3 built it (scripts/parity_run.py make_raw_sessions with
+n_tiles=256, seed=0, photon_coef=8, read_sigma=2.5; builder defaults
+hr 512 / psize 128 / del_border 8 / min_area 0.1 / th 4.0 /
+n_test_tiles 2 / n_valid_tiles 1). Deterministic from seed 0, so the
+rebuild is bit-identical to the round-3 data the committed
+PARITY_RUN_*_big2.yaml floors were measured on (verify with
+diagnosis.parity.eval_bicubic against those yamls).
+
+Usage: python scripts/build_big2.py [--root DIR] [--n_tiles 256]
+"""
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', default=os.path.join(REPO, '.parity_big2'))
+    ap.add_argument('--n_tiles', type=int, default=256)
+    ap.add_argument('--photon_coef', type=float, default=8.0)
+    ap.add_argument('--read_sigma', type=float, default=2.5)
+    ns = ap.parse_args()
+    from srcaco2_tpu.data import build_scripts as B
+    from scripts.parity_run import make_raw_sessions
+    if os.path.isdir(os.path.join(ns.root, 'caco2')):
+        print('# dataset already present:', ns.root)
+        return
+    sessions = make_raw_sessions(ns.root, n_tiles=ns.n_tiles,
+                                 photon_coef=ns.photon_coef,
+                                 read_sigma=ns.read_sigma)
+    counts = B.build_caco2_from_raw(
+        sessions, ns.root, hr_size=512, psize=128, del_border=8,
+        min_area=0.1, threshold=4.0, n_test_tiles=2, n_valid_tiles=1)
+    print('# built:', {k: v for k, v in counts.items()
+                       if k.startswith('_') or 'CELL0' in k})
+
+
+if __name__ == '__main__':
+    main()

@@ -58,13 +58,16 @@ def data_sharded(mesh: Mesh, rank: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA, *([None] * (rank - 1))))
 
 
-def shard_train_step(step_fn, mesh: Mesh):
+def shard_train_step(step_fn, mesh: Mesh, idxs_rank: int = 1):
     """Jit a (state, hr, lr, idxs, key) step for the mesh: state and the
     staged dataset replicated, batch indices sharded over 'data'. XLA
     propagates the sharding through the in-jit pipeline and model, and
-    all-reduces the gradients over ICI."""
+    all-reduces the gradients over ICI.
+
+    idxs_rank=2 is the superstep: idxs (K, batch) with the batch
+    (last) axis sharded over 'data' and the scan axis K unsharded."""
     rep = replicated(mesh)
-    ds = data_sharded(mesh)
+    ds = NamedSharding(mesh, P(*([None] * (idxs_rank - 1) + [DATA])))
     return jax.jit(step_fn,
                    in_shardings=(rep, rep, rep, ds, rep),
                    out_shardings=(rep, rep, rep),

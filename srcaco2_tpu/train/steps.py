@@ -172,18 +172,26 @@ def make_train_step(model, master: MasterLoss, tx, net_type: str,
                                   model_state=new_ms)
         return new_state, holder, ok & ~corrupt
 
+    def multi_fn(state: TrainState, hr_u8, lr_u8, idxs_k, key):
+        def body(st, ix):
+            st2, holder, ok = step_fn(st, hr_u8, lr_u8, ix, key)
+            return st2, (holder, ok)
+        state, (holders, oks) = jax.lax.scan(body, state, idxs_k)
+        return state, holders, jnp.all(oks)
+
     if mesh is not None:
-        assert steps_per_call <= 1, \
-            'superstep is single-chip; mesh path dispatches per step'
+        # Superstep x mesh (round 4, VERDICT r3 #5): the scan'd K-step
+        # body shards exactly like the single step — idxs (K, batch)
+        # with the BATCH axis on 'data' (K unsharded), state/data
+        # replicated; XLA inserts the gradient all-reduce inside each
+        # scan iteration, so per-step semantics (and the DDP
+        # allreduce-per-step analog, model_base.py:135) are preserved
+        # while K dispatches collapse into one.
         from srcaco2_tpu.parallel.mesh import shard_train_step
+        if steps_per_call > 1:
+            return shard_train_step(multi_fn, mesh, idxs_rank=2)
         return shard_train_step(step_fn, mesh)
     if steps_per_call > 1:
-        def multi_fn(state: TrainState, hr_u8, lr_u8, idxs_k, key):
-            def body(st, ix):
-                st2, holder, ok = step_fn(st, hr_u8, lr_u8, ix, key)
-                return st2, (holder, ok)
-            state, (holders, oks) = jax.lax.scan(body, state, idxs_k)
-            return state, holders, jnp.all(oks)
         return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
