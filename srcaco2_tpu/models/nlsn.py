@@ -13,6 +13,7 @@ collection when provided (the reference redraws them every forward),
 falling back to a fixed key for deterministic eval.
 """
 import math
+import os
 from typing import Any
 
 import jax
@@ -25,6 +26,23 @@ from srcaco2_tpu.models.blocks import (Conv, ResBlock, Upsampler,
 Dtype = Any
 
 
+def _onehot_budget_bytes() -> int:
+    """Cap on the materialized one-hot gather matrix (MB, env-tunable):
+    above it `_take` chunks the contraction over output rows so memory
+    is linear in the chunk instead of quadratic in the token count.
+    Default 1024 MB keeps every benchmarked config (x8 flagship:
+    B=64, S=1024 -> 256 MB) on the single-shot MXU path."""
+    return int(os.environ.get('SRCACO2_NLSN_ONEHOT_MB', '1024')) << 20
+
+
+def _take_oneshot(t, idx):
+    oh = (idx[..., None]
+          == jnp.arange(t.shape[1])[None, None, :]).astype(t.dtype)
+    return jax.lax.dot_general(
+        oh, t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(t.dtype)
+
+
 def _take(t, idx):
     """Row gather as an EXACT one-hot matmul: out[b,i] = t[b,idx[b,i]].
     Per-element take_along_axis lowers to a serial TPU gather (measured
@@ -32,17 +50,32 @@ def _take(t, idx):
     fast ops (a VPU compare + an MXU matmul) and is bit-exact (one
     nonzero per row).
 
-    Shape regime: the one-hot materializes (B, S, S) with
-    S = n_hashes*L, i.e. memory quadratic in the token count — ~4 MB
-    per image at the benchmarked x8 shapes (S=1024) but multiple GB
-    per layer once S reaches 4096+ (e.g. x2 with a large h_size). For
-    such configs chunk the contraction over rows or fall back to
-    take_along_axis, which is linear-memory but serial."""
-    oh = (idx[..., None]
-          == jnp.arange(t.shape[1])[None, None, :]).astype(t.dtype)
-    return jax.lax.dot_general(
-        oh, t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(t.dtype)
+    Shape regime: the one-hot materializes (B, S_out, S_src) with
+    S = n_hashes*L — quadratic in the token count. Beyond the
+    SRCACO2_NLSN_ONEHOT_MB budget (e.g. x2 with h_size 128: S=16384,
+    1 GiB per image) the contraction is chunked over output rows with
+    a lax.scan — each iteration builds only a (B, R, S_src) slice, so
+    memory is linear and every chunk still rides the MXU. Bit-exact
+    either way (one nonzero per row; same dot_general)."""
+    b, s_src = t.shape[0], t.shape[1]
+    s_out = idx.shape[1]
+    itemsize = jnp.dtype(t.dtype).itemsize
+    if b * s_out * s_src * itemsize <= _onehot_budget_bytes():
+        return _take_oneshot(t, idx)
+    # rows per chunk under the budget (>=8 keeps the MXU busy)
+    rows = max(8, _onehot_budget_bytes() // max(1, b * s_src * itemsize))
+    rows = min(rows, s_out)
+    pad = (-s_out) % rows
+    idx_p = jnp.pad(idx, ((0, 0), (0, pad)))
+    nck = idx_p.shape[1] // rows
+    idx_c = idx_p.reshape(b, nck, rows).transpose(1, 0, 2)
+
+    def body(_, ix):
+        return None, _take_oneshot(t, ix)
+
+    _, outs = jax.lax.scan(body, None, idx_c)      # (nck, B, rows, C)
+    out = outs.transpose(1, 0, 2, 3).reshape(b, nck * rows, -1)
+    return out[:, :s_out]
 
 
 @jax.custom_vjp
