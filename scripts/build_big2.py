@@ -24,18 +24,29 @@ def main():
     ap.add_argument('--n_tiles', type=int, default=256)
     ap.add_argument('--photon_coef', type=float, default=8.0)
     ap.add_argument('--read_sigma', type=float, default=2.5)
+    ap.add_argument('--n_test_tiles', type=int, default=8)
+    ap.add_argument('--n_valid_tiles', type=int, default=2)
     ns = ap.parse_args()
     from srcaco2_tpu.data import build_scripts as B
     from scripts.parity_run import make_raw_sessions
     if os.path.isdir(os.path.join(ns.root, 'caco2')):
         print('# dataset already present:', ns.root)
         return
-    sessions = make_raw_sessions(ns.root, n_tiles=ns.n_tiles,
-                                 photon_coef=ns.photon_coef,
-                                 read_sigma=ns.read_sigma)
+    raw = os.path.join(ns.root, 'raw')
+    if os.path.isdir(os.path.join(raw, 'res1')):
+        # raw tiles already generated (deterministic from seed 0) —
+        # reuse them and only re-run the builder pipeline.
+        dirs = {sc: os.path.join(raw, f'res{sc}') for sc in (1, 2, 4, 8)}
+        sessions = [B.SessionSpec(res_dirs=dirs)]
+        print('# reusing existing raw tiles:', raw)
+    else:
+        sessions = make_raw_sessions(ns.root, n_tiles=ns.n_tiles,
+                                     photon_coef=ns.photon_coef,
+                                     read_sigma=ns.read_sigma)
     counts = B.build_caco2_from_raw(
         sessions, ns.root, hr_size=512, psize=128, del_border=8,
-        min_area=0.1, threshold=4.0, n_test_tiles=2, n_valid_tiles=1)
+        min_area=0.1, threshold=4.0, n_test_tiles=ns.n_test_tiles,
+        n_valid_tiles=ns.n_valid_tiles)
     print('# built:', {k: v for k, v in counts.items()
                        if k.startswith('_') or 'CELL0' in k})
 
