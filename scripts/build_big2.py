@@ -26,6 +26,9 @@ def main():
     ap.add_argument('--read_sigma', type=float, default=2.5)
     ap.add_argument('--n_test_tiles', type=int, default=8)
     ap.add_argument('--n_valid_tiles', type=int, default=2)
+    ap.add_argument('--texture', default='v1', choices=['v1', 'v2'],
+                    help="tile generator version (v2 = intra-ROI "
+                         "structured texture; use --root .parity_big3)")
     ns = ap.parse_args()
     from srcaco2_tpu.data import build_scripts as B
     from scripts.parity_run import make_raw_sessions
@@ -42,7 +45,8 @@ def main():
     else:
         sessions = make_raw_sessions(ns.root, n_tiles=ns.n_tiles,
                                      photon_coef=ns.photon_coef,
-                                     read_sigma=ns.read_sigma)
+                                     read_sigma=ns.read_sigma,
+                                     texture=ns.texture)
     counts = B.build_caco2_from_raw(
         sessions, ns.root, hr_size=512, psize=128, del_border=8,
         min_area=0.1, threshold=4.0, n_test_tiles=ns.n_test_tiles,

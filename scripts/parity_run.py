@@ -25,7 +25,7 @@ import numpy as np
 
 
 def make_raw_sessions(root, n_tiles=8, hr=512, seed=0,
-                      photon_coef=8.0, read_sigma=2.5):
+                      photon_coef=8.0, read_sigma=2.5, texture='v1'):
     """Raw microscope-session tiles for the offline builder: RICH
     structured tiles (srcaco2_tpu.data.synthetic.rich_cell_tile) with
     per-channel marker statistics matching the real dataset's CELL0/1/2,
@@ -42,7 +42,7 @@ def make_raw_sessions(root, n_tiles=8, hr=512, seed=0,
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     for t in range(1, n_tiles + 1):
-        tile = np.stack([rich_cell_tile(rng, hr, c)
+        tile = np.stack([rich_cell_tile(rng, hr, c, texture=texture)
                          for c in ('CELL0', 'CELL1', 'CELL2')])
         for sc, d in dirs.items():
             if sc == 1:
@@ -109,6 +109,10 @@ def main():
                          'not denoising — see docs/QUALITY.md')
     ap.add_argument('--read_sigma', type=float, default=2.5,
                     help='LR read-noise sigma (degrade_lr)')
+    ap.add_argument('--texture', default='v1', choices=['v1', 'v2'],
+                    help="tile generator version: v2 adds structured "
+                         "intra-ROI sub-diffraction texture (round-4 "
+                         "Table-4 axis; see rich_cell_tile)")
     ap.add_argument('--ema', type=float, default=0.0,
                     help='E_decay > 0: maintain the netE EMA at this '
                          'decay AND evaluate/select/test on it '
@@ -128,7 +132,8 @@ def main():
         print('# building dataset from raw tiles (full pipeline)...')
         sessions = make_raw_sessions(root, n_tiles=ns.n_tiles,
                                      photon_coef=ns.photon_coef,
-                                     read_sigma=ns.read_sigma)
+                                     read_sigma=ns.read_sigma,
+                                     texture=ns.texture)
         counts = B.build_caco2_from_raw(
             sessions, root, hr_size=512, psize=128, del_border=8,
             min_area=0.1, threshold=4.0, n_test_tiles=ns.n_test_tiles,
@@ -273,7 +278,7 @@ def main():
                    'batch': ns.batch, 'loss': ns.loss,
                    'lr': ns.lr, 'sched_step': ns.sched_step,
                    'clipgrad': ns.clipgrad, 'n_tiles': ns.n_tiles,
-                   'seed': ns.seed, 'tiles': 'rich',
+                   'seed': ns.seed, 'tiles': f'rich_{ns.texture}',
                    'photon_coef': ns.photon_coef,
                    'read_sigma': ns.read_sigma,
                    'fused': ns.fused, 'amp': ns.amp, 'ema': ns.ema,

@@ -85,8 +85,49 @@ def _filament(rng: np.random.Generator, img: np.ndarray,
     _splat(img, ys, xs, [sigma] * n, [amp] * n, rad=3)
 
 
+def _domains(rng: np.random.Generator, size: int, scale_px: float,
+             amp: float, wall: float = 6.0) -> np.ndarray:
+    """Sharp-walled intensity domains: band-limited noise squashed
+    through a steep tanh into +-amp plateaus of ~scale_px extent with
+    ~scale_px/wall-wide walls. The key recoverability property (unlike
+    sub-pixel iid speckle, which binning destroys irreversibly): the
+    domains survive LR binning as localizable blobs, but their SHARP
+    walls do not — a trained net can re-render the wall sharpness from
+    the LR context while bicubic necessarily keeps it smeared. This is
+    the intra-ROI restoration problem the reference's Table-4 metric
+    rewards."""
+    z = _smooth_noise(rng, size, scale_px, 1.0)
+    return np.tanh(z * wall) * amp
+
+
+def _disks(rng: np.random.Generator, img: np.ndarray, ii: np.ndarray,
+           n: int, r_lo: float, r_hi: float, amp_lo: float,
+           amp_hi: float, sign_p: float = 0.5):
+    """Sharp-edged organelle disks (vesicles/granules) at interior
+    positions: radius r_lo..r_hi px, ~1.5 px edge, bright or dark
+    (sign_p = P[bright]). Disk bodies survive binning; their edges are
+    the learnable content."""
+    size = img.shape[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    idx = rng.integers(0, len(ii), n)
+    for j in range(n):
+        cy = ii[idx[j], 0] + rng.uniform(-0.5, 0.5)
+        cx = ii[idx[j], 1] + rng.uniform(-0.5, 0.5)
+        r0 = rng.uniform(r_lo, r_hi)
+        a = rng.uniform(amp_lo, amp_hi)
+        if rng.uniform() > sign_p:
+            a = -a
+        w = int(np.ceil(r0 + 3))
+        y0, y1 = max(0, int(cy) - w), min(size, int(cy) + w + 1)
+        x0, x1 = max(0, int(cx) - w), min(size, int(cx) + w + 1)
+        d = np.sqrt((yy[y0:y1, x0:x1] - cy) ** 2
+                    + (xx[y0:y1, x0:x1] - cx) ** 2)
+        img[y0:y1, x0:x1] += a * np.clip((r0 - d) / 1.5 + 0.5, 0.0, 1.0)
+
+
 def rich_cell_tile(rng: np.random.Generator, size: int = 512,
-                   cell: str = 'CELL0') -> np.ndarray:
+                   cell: str = 'CELL0',
+                   texture: str = 'v1') -> np.ndarray:
     """Structured fluorescence-like tile with *learnable high-frequency
     content* — the synthetic stand-in for the real SR-CACO-2 markers
     (reference doc/nutrition-label.png: CELL0=Survivin puncta,
@@ -98,7 +139,16 @@ def rich_cell_tile(rng: np.random.Generator, size: int = 512,
     margin), these tiles carry sharp cell boundaries, 1-3 px membrane
     rims, ~1 px filaments, 1-2 px puncta and fine chromatin texture:
     consistent statistics a trained network can learn to restore from
-    a degraded LR while bicubic cannot."""
+    a degraded LR while bicubic cannot.
+
+    texture='v2' (round 4, VERDICT r3 #3): the *interiors* additionally
+    carry structured sub-diffraction content — tanh-sharpened speckle
+    instead of part of the iid smooth noise, dense 0.8-1.3 px puncta in
+    every marker, radial membrane striations (CELL1), sharp chromatin
+    speckle (CELL2) — so the Otsu-ROI (which covers the bright cell
+    support) holds learnable restoration headroom, the axis the
+    reference's Table 4 measures (utils_trainer.py:874). v1 rng draws
+    are preserved bit-exactly."""
     rel = size / 512.0
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     img = np.full((size, size), 2.0, np.float32)
@@ -126,23 +176,43 @@ def rich_cell_tile(rng: np.random.Generator, size: int = 512,
         # flat-ish interior with a steep (sharp) edge falloff
         base = rng.uniform(25, 90)
         env = base * np.clip((1.0 - d) * 8.0, 0.0, 1.0)
-        # granular intracellular texture (2 scales)
-        tex = (_smooth_noise(rng, size, 2.5, base * 0.25)
-               + _smooth_noise(rng, size, 7.0, base * 0.18))
+        # granular intracellular texture; v2 swaps the fine iid
+        # component (irrecoverable — a floor common to every method)
+        # for sharp-walled domains at >= LR-pixel scale whose WALLS are
+        # the learnable content
+        if texture == 'v2':
+            tex = (_domains(rng, size, 9.0, base * 0.30)
+                   + _smooth_noise(rng, size, 7.0, base * 0.08))
+        else:
+            tex = (_smooth_noise(rng, size, 2.5, base * 0.25)
+                   + _smooth_noise(rng, size, 7.0, base * 0.18))
         img += np.where(interior, env + tex, 0.0)
         if cell == 'CELL1':
             # bright membrane rim, 1-3 px
             w = rng.uniform(0.015, 0.04)
             rim = np.exp(-((d - 1.0) / w) ** 2) * rng.uniform(70, 160)
             img += rim
+            if texture == 'v2':
+                # sharp radial striations inside the rim (junction
+                # bands, ~9 px period, square-ish walls): bands survive
+                # binning, their sharp walls are the learnable content
+                period = rng.uniform(8.0, 12.0)
+                phase = rng.uniform(0, 2 * np.pi)
+                band = ((d > 0.70) & (d < 0.98)).astype(np.float32)
+                stri = np.tanh(np.cos(2 * np.pi * d * min(a, b)
+                                      / period + phase) * 4.0)
+                img += band * (stri * 0.5 + 0.5) * base * 0.5
         if cell == 'CELL2':
             # nucleus: smaller sharp ellipse + fine chromatin texture
             dn = np.sqrt((dy / (a * 0.45)) ** 2 + (dx / (b * 0.45)) ** 2)
             nuc = dn < 1.0
             amp_n = rng.uniform(60, 150)
+            chro = _domains(rng, size, 6.0, amp_n * 0.35) \
+                if texture == 'v2' else \
+                _smooth_noise(rng, size, 1.8, amp_n * 0.30)
             img += np.where(
                 nuc, amp_n * np.clip((1.0 - dn) * 10.0, 0.0, 1.0)
-                + _smooth_noise(rng, size, 1.8, amp_n * 0.30), 0.0)
+                + chro, 0.0)
 
     ii = np.argwhere(interior_total)
     if len(ii) == 0:
@@ -156,6 +226,13 @@ def rich_cell_tile(rng: np.random.Generator, size: int = 512,
         xs = ii[idx, 1] + rng.uniform(-0.5, 0.5, n_p)
         _splat(img, ys, xs, rng.uniform(0.7, 1.6, n_p),
                rng.uniform(50, 200, n_p), rad=4)
+    if texture == 'v2':
+        # sharp-edged organelle disks in EVERY marker's interiors
+        # (vesicles/granules, radius 3-7 px): disk bodies survive
+        # binning as localizable blobs, their 1.5 px edges are the
+        # learnable intra-ROI content
+        n_d = max(8, int(120 * rel * rel))
+        _disks(rng, img, ii, n_d, 3.0, 7.0, 25.0, 80.0, sign_p=0.6)
     if cell == 'CELL1':
         # tubulin-like filaments seeded inside cells
         n_f = max(3, int(14 * rel * rel))
@@ -257,8 +334,10 @@ def make_synthetic_dataset(root: str, scale: int = 2, cell: str = 'CELL0',
         for _ in range(n):
             hi = f'tile_HighRes{size}-{counter}_{cell}.tif'
             lo = f'tile_LowRes{size // scale}-{counter}_{cell}.tif'
-            if style == 'rich':
-                hr = rich_cell_tile(rng, size, cell)
+            if style in ('rich', 'rich_v2'):
+                hr = rich_cell_tile(rng, size, cell,
+                                    texture='v2' if style == 'rich_v2'
+                                    else 'v1')
                 lr = degrade_lr(hr, scale, rng)
             else:
                 hr = _cell_image(rng, size)
