@@ -342,7 +342,13 @@ class Experiment:
             summary[ds.name] = {
                 'psnr': float(perf['full']['psnr']),
                 'ssim': float(perf['full']['ssim']),
+                'nrmse': float(perf['full']['nrmse']),
                 'n': int(perf['n']), 'time': float(perf['time'])}
+            if 'roi' in perf:
+                summary[ds.name]['roi_psnr'] = \
+                    float(perf['roi']['psnr'])
+                summary[ds.name]['roi_ssim'] = \
+                    float(perf['roi']['ssim'])
             if args.get('is_master', True):
                 # per-image metric dump for offline verification
                 # (reference: details_*.yml, utils_trainer.py:253).
@@ -368,6 +374,16 @@ class Experiment:
             bperf = fast_eval(self.interp_forward, None, ds, args,
                               int(args['eval_bsize']), constants.TESTSET)
             log_perf(f'test/{ds.name}_bicubic@{step}', bperf)
+            summary[ds.name + '_bicubic'] = {
+                'psnr': float(bperf['full']['psnr']),
+                'ssim': float(bperf['full']['ssim']),
+                'nrmse': float(bperf['full']['nrmse']),
+                'n': int(bperf['n']), 'time': float(bperf['time'])}
+            if 'roi' in bperf:
+                summary[ds.name + '_bicubic']['roi_psnr'] = \
+                    float(bperf['roi']['psnr'])
+                summary[ds.name + '_bicubic']['roi_ssim'] = \
+                    float(bperf['roi']['ssim'])
             T.update_tracker_eval(self.tracker, constants.TESTSET,
                                   ds.name + '_bicubic', bperf['full'],
                                   step, args['model_select_mtr'])
