@@ -10,7 +10,7 @@ script re-runs the test protocol on each finished exp with
 eval_over_roi_also=True via eval.py and extracts the ROI rows the
 tracker records for the trained model and the bicubic co-eval.
 
-Usage: python scripts/roi_rescore.py <exp_dir> [<exp_dir> ...]
+Usage: python scripts/roi_rescore.py [--out FILE.yaml] <exp_dir> ...
        python scripts/roi_rescore.py --all   # all id_big2* exps
 """
 import glob
@@ -54,7 +54,11 @@ def rescore(exp):
 
 
 def main():
+    global OUT
     exps = sys.argv[1:]
+    if exps and exps[0] == '--out':
+        OUT = os.path.abspath(exps[1])
+        exps = exps[2:]
     if exps == ['--all']:
         exps = sorted(
             d for d in glob.glob(os.path.join(
