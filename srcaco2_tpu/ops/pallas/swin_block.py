@@ -63,6 +63,7 @@ class _Cfg(NamedTuple):
     ib_rows: int = 512
     vmem_mb: Optional[float] = None
     pair: bool = False
+    hd_pad: int = 0
 
 
 def _env_cfg() -> _Cfg:
@@ -84,7 +85,12 @@ def _env_cfg() -> _Cfg:
                                    '1') != '0',
         ib_rows=int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512')),
         vmem_mb=float(vm) if vm else None,
-        pair=os.environ.get('SRCACO2_SWIN_PAIR', '0') != '0')
+        pair=os.environ.get('SRCACO2_SWIN_PAIR', '0') != '0',
+        # Zero-pad each head's q/k/v lane block to this width (0 = off)
+        # so head slices land on MXU-friendly lane offsets while the
+        # model function stays EXACTLY C=180/hd=30 (see _pad_head_lanes;
+        # shape-control motivation: docs/BENCH_ANALYSIS.md round 4).
+        hd_pad=int(os.environ.get('SRCACO2_SWIN_HD_PAD', '0')))
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9
@@ -254,20 +260,22 @@ _PV = (((2,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,j,d) -> (b,i,d)
 _PT = (((1,), (1,)), ((0,), (0,)))    # (b,i,j)x(b,i,d) -> (b,j,d)
 
 
-def _split_heads(z, ib, t, c, heads, start):
+def _split_heads(z, ib, t, ca, heads, start):
     """(ib*t, nc) -> (heads*ib, t, hd): per-head lane slices at column
     offset `start`, stacked into ONE batch dim (Mosaic's tpu.matmul
-    supports a single batch dimension)."""
-    hd = c // heads
+    supports a single batch dimension). `ca` is the ATTENTION channel
+    width (heads*hd) — equal to the model C unless cfg.hd_pad widened
+    the head lanes."""
+    hd = ca // heads
     z4 = jnp.stack([
         z[:, start + h * hd:start + (h + 1) * hd].reshape(ib, t, hd)
         for h in range(heads)])
     return z4.reshape(heads * ib, t, hd)
 
 
-def _merge_heads(z3, ib, t, c, heads):
-    """(heads*ib, t, hd) -> (ib*t, c) concatenating heads into lanes."""
-    hd = c // heads
+def _merge_heads(z3, ib, t, ca, heads):
+    """(heads*ib, t, hd) -> (ib*t, ca) concatenating heads into lanes."""
+    hd = ca // heads
     z4 = z3.reshape(heads, ib, t, hd)
     return jnp.concatenate([z4[h].reshape(ib * t, hd)
                             for h in range(heads)], axis=-1)
@@ -284,18 +292,22 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt, cfg,
     largest cost class) by default, f32 when cfg.f32_softmax restores
     torch-autocast numerics — with the row-sum reduced in f32;
     bias_ref is pre-cast to sdt. bf16's exponent range covers the
-    -1e9 mask. Returns O (ib*t, c) cdt and per-head residuals for the
-    backward."""
-    hd = c // heads
+    -1e9 mask. Returns O (ib*t, ca) cdt and per-head residuals for the
+    backward, where ca = qkv_width/3 (== c unless cfg.hd_pad widened
+    the head lanes; the proj weights carry matching zero rows so the
+    model function is unchanged)."""
+    del c
+    ca = qkv.shape[1] // 3
+    hd = ca // heads
     sdt = jnp.float32 if cfg.f32_softmax else cdt
     if cfg.heads_batched:
         # ONE batched dot_general / softmax chain for all heads:
         # per-op fixed overhead (Mosaic runs the kernel body op by op)
         # dominates at these shapes, so 6x fewer (t, t) ops wins even
         # though the math is identical to the per-head loop.
-        q = _split_heads(qkv, ib, t, c, heads, 0)     # (h*ib, t, hd)
-        k = _split_heads(qkv, ib, t, c, heads, c)
-        v = _split_heads(qkv, ib, t, c, heads, 2 * c)
+        q = _split_heads(qkv, ib, t, ca, heads, 0)    # (h*ib, t, hd)
+        k = _split_heads(qkv, ib, t, ca, heads, ca)
+        v = _split_heads(qkv, ib, t, ca, heads, 2 * ca)
         # elementwise chain in 4D so the (h, 1, t, t) bias broadcasts
         # over images without materializing a (h*ib, t, t) copy; the
         # dots see the merged single batch dim.
@@ -307,13 +319,13 @@ def _attn_fwd(qkv, bias_ref, ib, t, c, heads, cdt, cfg,
                     dtype=jnp.float32)
         rinv = 1.0 / r
         o4 = _dotg(e, v, _PV, cdt) * rinv             # f32
-        o = _merge_heads(o4.astype(cdt), ib, t, c, heads)
+        o = _merge_heads(o4.astype(cdt), ib, t, ca, heads)
         return o, ((q, k, v, e, rinv) if with_probs else None)
     o_parts, saved = [], []
     for h in range(heads):
         q = qkv[:, h * hd:(h + 1) * hd].reshape(ib, t, hd)
-        k = qkv[:, c + h * hd:c + (h + 1) * hd].reshape(ib, t, hd)
-        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(
+        k = qkv[:, ca + h * hd:ca + (h + 1) * hd].reshape(ib, t, hd)
+        v = qkv[:, 2 * ca + h * hd:2 * ca + (h + 1) * hd].reshape(
             ib, t, hd)
         s = _dotg(q, k, _QK, cdt).astype(sdt) + bias_ref[h][None]
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -388,7 +400,8 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     # measurement-only ablations (perf_ab.py); never set in production
     _abl = cfg.ablate
     ib, t, c = x_ref.shape
-    hd = c // heads
+    ca = wqkv.shape[1] // 3      # attention width (>= c under hd_pad)
+    hd = ca // heads
     accs = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1,
             dbm1, dw2, dbm2, dbias)
 
@@ -437,7 +450,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
     if cfg.heads_batched and 'attnbwd' not in _abl:
         # all-heads batched attention backward (see _attn_fwd note)
         q, k, v, e, rinv = it['saved']
-        do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
+        do4 = _split_heads(do.astype(cdt), ib, t, ca, heads, 0)
         p = e * rinv.astype(cdt)                      # (h*ib, t, t)
         dp = _dotg(do4, v, _QK, cdt).astype(cdt)      # (h*ib, t, t)
         dv = _dotg(p, do4, _PT, cdt)                  # (h*ib, t, hd)
@@ -451,8 +464,8 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
         dq4 = _dotg(ds, k, _PV, cdt)                  # (h*ib, t, hd)
         dk4 = _dotg(ds, q, _PT, cdt)
         dqkv = jnp.concatenate(
-            [_merge_heads(z.astype(cdt), ib, t, c, heads)
-             for z in (dq4, dk4, dv)], axis=-1)       # (m, 3c)
+            [_merge_heads(z.astype(cdt), ib, t, ca, heads)
+             for z in (dq4, dk4, dv)], axis=-1)       # (m, 3ca)
         dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)
         if acc_w:
             dwqkv[...] += _dotg(it['y'], dqkv,
@@ -504,7 +517,7 @@ def _bwd_kernel(x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1,
         dks.append(dk.reshape(ib * t, hd))
         dvs.append(dv.reshape(ib * t, hd))
     if 'attnbwd' in _abl:
-        dqkv = jnp.zeros((ib * t, 3 * c), cdt)
+        dqkv = jnp.zeros((ib * t, 3 * ca), cdt)
     else:
         dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (m, 3c)
     if acc_w:
@@ -544,8 +557,9 @@ def _block_bwd_math(g, it, refs, ib, t, c, heads, cdt):
     dwproj = _dotg(it['o'], dx2_c, (((0,), (0,)), ((), ())), cdt)
     dbproj = jnp.sum(dx2, axis=0, keepdims=True)
     do = _dotg(dx2_c, wproj[:], (((1,), (1,)), ((), ())), cdt)
+    ca = wproj.shape[0]          # attention width (>= c under hd_pad)
     q, k, v, e, rinv = it['saved']
-    do4 = _split_heads(do.astype(cdt), ib, t, c, heads, 0)
+    do4 = _split_heads(do.astype(cdt), ib, t, ca, heads, 0)
     p = e * rinv.astype(e.dtype)
     dp = _dotg(do4, v, _QK, cdt).astype(p.dtype)
     dv = _dotg(p, do4, _PT, cdt)
@@ -556,7 +570,7 @@ def _block_bwd_math(g, it, refs, ib, t, c, heads, cdt):
     dq4 = _dotg(ds, k, _PV, cdt)
     dk4 = _dotg(ds, q, _PT, cdt)
     dqkv = jnp.concatenate(
-        [_merge_heads(z.astype(cdt), ib, t, c, heads)
+        [_merge_heads(z.astype(cdt), ib, t, ca, heads)
          for z in (dq4, dk4, dv)], axis=-1)
     dy = _dotg(dqkv, wqkv[:], (((1,), (1,)), ((), ())), cdt)
     dwqkv = _dotg(it['y'], dqkv, (((0,), (0,)), ((), ())), cdt)
@@ -626,8 +640,8 @@ def _make_block_pair_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
     (heads-batched) path only."""
     assert cfg.heads_batched, 'pair kernel requires heads_batched'
 
-    def specs(b, t, c, ch):
-        w_shapes = _w_shapes(c, ch, heads, t)
+    def specs(b, t, c, ch, ca):
+        w_shapes = _w_shapes(c, ch, heads, t, ca)
         ib = _pick_img_blk(b, t, cfg.ib_rows)
         grid = (b // ib,)
         act = pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
@@ -637,7 +651,8 @@ def _make_block_pair_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
     def call_fwd(x, *wb):
         b, t, c = x.shape
         ch = wb[8].shape[1]
-        w_shapes, ib, grid, act = specs(b, t, c, ch)
+        w_shapes, ib, grid, act = specs(b, t, c, ch,
+                                        wb[2].shape[1] // 3)
         return pl.pallas_call(
             functools.partial(_fwd_kernel_pair, heads=heads, cdt=cdt,
                               cfg=cfg),
@@ -661,7 +676,8 @@ def _make_block_pair_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
         x, *wb = res
         b, t, c = x.shape
         ch = wb[8].shape[1]
-        w_shapes, ib, grid, act = specs(b, t, c, ch)
+        w_shapes, ib, grid, act = specs(b, t, c, ch,
+                                        wb[2].shape[1] // 3)
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel_pair, heads=heads, cdt=cdt,
                               cfg=cfg),
@@ -686,9 +702,9 @@ def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
                           compute_dtype=jnp.bfloat16):
     """Two consecutive Swin blocks (the canonical no-shift/shift pair)
     in one fused kernel. Same params layout as fused_swin_block."""
+    cfg = _env_cfg()._replace(pair=True)
     op = _make_block_pair_op(heads, interpret,
-                             jnp.dtype(compute_dtype),
-                             _env_cfg()._replace(pair=True))
+                             jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
 
     def pack(params, bias):
@@ -696,8 +712,12 @@ def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
             return params[name].astype(f32).reshape(1, -1)
         wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
                                v('qkv_bias'), heads)
+        wp = params['proj_kernel'].astype(f32)
+        if cfg.hd_pad:
+            wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads,
+                                         cfg.hd_pad)
         return (v('ln1_scale'), v('ln1_bias'), wq, bq,
-                params['proj_kernel'].astype(f32), v('proj_bias'),
+                wp, v('proj_bias'),
                 v('ln2_scale'), v('ln2_bias'),
                 params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
                 params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
@@ -737,8 +757,11 @@ def _weight_specs(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
-def _w_shapes(c, ch, nh, t):
-    return [(1, c), (1, c), (c, 3 * c), (1, 3 * c), (c, c), (1, c),
+def _w_shapes(c, ch, nh, t, ca=None):
+    """Weight/bias shapes; `ca` = attention channel width (heads*hd
+    after cfg.hd_pad padding), defaulting to the model width c."""
+    ca = c if ca is None else ca
+    return [(1, c), (1, c), (c, 3 * ca), (1, 3 * ca), (ca, c), (1, c),
             (1, c), (1, c), (c, ch), (1, ch), (ch, c), (1, c),
             (nh, t, t)]
 
@@ -781,7 +804,8 @@ def _make_block_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
             grid=grid,
             in_specs=[pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
-            + _weight_specs(_w_shapes(c, ch, heads, t)),
+            + _weight_specs(_w_shapes(c, ch, heads, t,
+                                      wb[2].shape[1] // 3)),
             out_specs=pl.BlockSpec((ib, t, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=_compiler_params(cfg),
@@ -801,7 +825,7 @@ def _make_block_op(heads: int, interpret: bool, cdt, cfg: _Cfg):
         ib = _pick_img_blk(b, t, cfg.ib_rows)
         ch = wb[8].shape[1]
         grid = (b // ib,)
-        w_shapes = _w_shapes(c, ch, heads, t)
+        w_shapes = _w_shapes(c, ch, heads, t, wb[2].shape[1] // 3)
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, heads=heads, cdt=cdt,
                               cfg=cfg),
@@ -837,6 +861,34 @@ def _prescale_qkv(wqkv, bqkv, heads):
     return wqkv * colmul, bqkv * colmul
 
 
+def _pad_head_lanes(wq, bq, wproj, heads, hdp):
+    """Zero-pad each head's q/k/v lane block hd -> hdp and wproj's
+    input rows to match, so head slices inside the kernel land on
+    hdp-aligned lane offsets (hd=30 at the flagship C=180 puts every
+    slice at a 30-lane offset, which Mosaic handles with unaligned
+    relayouts — the round-4 shape control, docs/BENCH_ANALYSIS.md,
+    measured 1.36-2.7x per-MAC recovery at aligned widths). EXACT:
+    zero q/k columns add exact zeros to QK^T, zero v columns produce
+    zero O lanes, and the matching zero wproj rows erase them from the
+    block output; the transforms are plain differentiable XLA pad ops,
+    so the custom-VJP grads w.r.t. the padded weights flow back to the
+    model params through the transposed (slice) ops automatically."""
+    c = wproj.shape[1]
+    hd = c // heads
+    if hdp <= hd:
+        return wq, bq, wproj
+    pad4 = [(0, 0)] * 3 + [(0, hdp - hd)]
+    cin = wq.shape[0]
+    wq = jnp.pad(wq.reshape(cin, 3, heads, hd), pad4).reshape(
+        cin, 3 * heads * hdp)
+    bq = jnp.pad(bq.reshape(1, 3, heads, hd), pad4).reshape(
+        1, 3 * heads * hdp)
+    wproj = jnp.pad(wproj.reshape(heads, hd, c),
+                    [(0, 0), (0, hdp - hd), (0, 0)]).reshape(
+        heads * hdp, c)
+    return wq, bq, wproj
+
+
 def fused_swin_block(x, params, bias, *, heads: int,
                      interpret: bool = False,
                      compute_dtype=jnp.bfloat16):
@@ -847,8 +899,9 @@ def fused_swin_block(x, params, bias, *, heads: int,
     mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias.
     Env knobs are snapshot here (see module docstring) and baked into
     the op identity."""
+    cfg = _env_cfg()
     op = _make_block_op(heads, interpret,
-                        jnp.dtype(compute_dtype), _env_cfg())
+                        jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
 
     def v(name):
@@ -856,8 +909,11 @@ def fused_swin_block(x, params, bias, *, heads: int,
 
     wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
                            v('qkv_bias'), heads)
+    wp = params['proj_kernel'].astype(f32)
+    if cfg.hd_pad:
+        wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads, cfg.hd_pad)
     wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
-          params['proj_kernel'].astype(f32), v('proj_bias'),
+          wp, v('proj_bias'),
           v('ln2_scale'), v('ln2_bias'),
           params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
           params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
@@ -938,7 +994,8 @@ def _make_block_op_grouped(heads: int, interpret: bool, cdt,
         # index_maps receive (grid idx, scalar-prefetch ref) here
         w_specs = [pl.BlockSpec(s, lambda i, g, n=len(s): (0,) * n,
                                 memory_space=pltpu.VMEM)
-                   for s in _w_shapes(c, ch, heads, t)[:-1]]
+                   for s in _w_shapes(c, ch, heads, t,
+                                      wb[2].shape[1] // 3)[:-1]]
         act = pl.BlockSpec((ib, t, c), lambda i, g: (i, 0, 0),
                            memory_space=pltpu.VMEM)
         bias_spec = pl.BlockSpec(
@@ -968,9 +1025,10 @@ def fused_swin_block_grouped(x, params, bias_groups, gid, *,
     bias-group selection. x: (B, T, C) tiles ordered so that every
     consecutive run of `ib` tiles shares a bias group; bias_groups:
     (G, nh, T, T); gid: (B//ib,) int32 group per program."""
+    cfg = _env_cfg()
     op = _make_block_op_grouped(heads, interpret,
                                 jnp.dtype(compute_dtype),
-                                _env_cfg(), ib)
+                                cfg, ib)
     f32 = jnp.float32
 
     def v(name):
@@ -978,8 +1036,11 @@ def fused_swin_block_grouped(x, params, bias_groups, gid, *,
 
     wq, bq = _prescale_qkv(params['qkv_kernel'].astype(f32),
                            v('qkv_bias'), heads)
+    wp = params['proj_kernel'].astype(f32)
+    if cfg.hd_pad:
+        wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads, cfg.hd_pad)
     wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
-          params['proj_kernel'].astype(f32), v('proj_bias'),
+          wp, v('proj_bias'),
           v('ln2_scale'), v('ln2_bias'),
           params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
           params['mlp2_kernel'].astype(f32), v('mlp2_bias'),

@@ -135,6 +135,52 @@ def test_pair_kernel_matches_two_single_blocks(data):
                                    atol=max(3e-5 * scale, 3e-6))
 
 
+def test_hd_pad_matches_unpadded(data, monkeypatch):
+    """SRCACO2_SWIN_HD_PAD zero-pads head lanes (hd 6 -> 8 here; 30 ->
+    32 at the flagship) purely inside the weights; the model function
+    is mathematically unchanged (padding adds exact zeros to every
+    contraction) — forward and grads must agree to reduction-order
+    rounding (~1 ulp: a width-8 vs width-6 contraction may group its
+    partial sums differently), single and pair kernels."""
+    from srcaco2_tpu.ops.pallas.swin_block import fused_swin_block_pair
+    x, params_a, tables = data
+    params_b = _params(2)
+    bias = build_attn_bias(tables, H, W, WS)
+
+    def loss_single(x, p):
+        y = fused_swin_block(x, p, bias[1], heads=NH,
+                             interpret=True, compute_dtype=F32)
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_pair(x, pa, pb):
+        y = fused_swin_block_pair(x, pa, bias[0], pb, bias[1],
+                                  heads=NH, interpret=True,
+                                  compute_dtype=F32)
+        return jnp.sum(jnp.sin(y)), y
+
+    (v0, y0), g0 = jax.value_and_grad(loss_single, argnums=(0, 1),
+                                      has_aux=True)(x, params_a)
+    (vp0, yp0), gp0 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2),
+                                         has_aux=True)(
+        x, params_a, params_b)
+    monkeypatch.setenv('SRCACO2_SWIN_HD_PAD', '8')
+    (v1, y1), g1 = jax.value_and_grad(loss_single, argnums=(0, 1),
+                                      has_aux=True)(x, params_a)
+    (vp1, yp1), gp1 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2),
+                                         has_aux=True)(
+        x, params_a, params_b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yp1), np.asarray(yp0),
+                               atol=2e-6)
+    for a, b in list(zip(jax.tree.leaves(g1), jax.tree.leaves(g0))) \
+            + list(zip(jax.tree.leaves(gp1), jax.tree.leaves(gp0))):
+        assert a.shape == b.shape        # grads are in MODEL shapes
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=max(3e-6 * scale, 1e-7))
+
+
 def test_stack_pair_path_matches_single(data, monkeypatch):
     """FusedBlockStack with SRCACO2_SWIN_PAIR=1 routes pairs through
     the fused pair kernel and matches the per-block path."""
