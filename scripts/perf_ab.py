@@ -38,15 +38,16 @@ def main():
     # 'attnbwd', 'mlpbwd' give the component breakdown).
     CONFIGS = [
         ('base', {}),
-        ('pair-fused', {'SRCACO2_SWIN_PAIR': '1'}),
-        ('pair-fused ib256', {'SRCACO2_SWIN_PAIR': '1',
-                              'SRCACO2_SWIN_IB_ROWS': '256'}),
+        ('hd-pad-32', {'SRCACO2_SWIN_HD_PAD': '32'}),
         ('f32-softmax', {'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
+        ('hd-pad-32 f32sm', {'SRCACO2_SWIN_HD_PAD': '32',
+                             'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
+        ('pair-fused', {'SRCACO2_SWIN_PAIR': '1'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',
                 'SRCACO2_SWIN_HEADS_BATCHED', 'SRCACO2_SWIN_PAIR',
-                'SRCACO2_SWIN_F32_SOFTMAX']
+                'SRCACO2_SWIN_F32_SOFTMAX', 'SRCACO2_SWIN_HD_PAD']
 
     stack = FusedBlockStack(dim=c, depth=36, num_heads=heads,
                             window_size=ws, mlp_ratio=mlp,

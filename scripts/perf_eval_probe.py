@@ -26,6 +26,10 @@ def main():
                     help='comma list: A/B SRCACO2_SWIN_TILE_ROWS '
                          'settings (fresh jit per setting, '
                          'interleaved timing)')
+    ap.add_argument('--hd-pad', default='',
+                    help='comma list: A/B SRCACO2_SWIN_HD_PAD '
+                         'settings (0 = off); same fresh-jit '
+                         'interleaved discipline as --tile-rows')
     ns = ap.parse_args()
 
     import jax
@@ -51,40 +55,51 @@ def main():
     # read at trace time), so settings A/B inside one process.
     rows_list = ([int(r) for r in ns.tile_rows.split(',')]
                  if ns.tile_rows else [None])
-    fwds = {}
-    for rv in rows_list:
+    pad_list = ([int(p) for p in ns.hd_pad.split(',')]
+                if ns.hd_pad else [None])
+
+    def set_env(rv, hp):
         if rv is not None:
             os.environ['SRCACO2_SWIN_TILE_ROWS'] = str(rv)
-        fwds[rv] = make_eval_forward(model, constants.SWINIR, scale)
-    configs = [(b, rv) for b in batches for rv in rows_list]
+        if hp is not None:
+            os.environ['SRCACO2_SWIN_HD_PAD'] = str(hp)
+
+    fwds = {}
+    for rv in rows_list:
+        for hp in pad_list:
+            set_env(rv, hp)
+            fwds[rv, hp] = make_eval_forward(model, constants.SWINIR,
+                                             scale)
+    configs = [(b, rv, hp) for b in batches for rv in rows_list
+               for hp in pad_list]
     results = {cfg: [] for cfg in configs}
     # interleave reps across configs so tunnel drift hits all equally
     for rep in range(ns.reps):
         for cfg in configs:
-            b, rv = cfg
+            b, rv, hp = cfg
             if results[cfg] and results[cfg][-1] is None:
                 continue
-            if rv is not None:
-                os.environ['SRCACO2_SWIN_TILE_ROWS'] = str(rv)
+            set_env(rv, hp)
             xe = {'l_im': jnp.asarray(
                 rng.normal(0.4, 0.2, (b, 1, 64, 64)).clip(0, 1),
                 jnp.float32)}
             try:
-                r = fwds[rv](params, xe)
+                r = fwds[rv, hp](params, xe)
                 float(jnp.sum(r))
                 t0 = time.perf_counter()
                 for _ in range(ns.iters):
-                    r = fwds[rv](params, xe)
+                    r = fwds[rv, hp](params, xe)
                 float(jnp.sum(r))
                 dt = time.perf_counter() - t0
                 results[cfg].append(ns.iters * b / dt)
             except Exception as e:
-                print(f'batch {b} rows {rv}: {type(e).__name__}: {e}',
-                      file=sys.stderr)
+                print(f'batch {b} rows {rv} pad {hp}: '
+                      f'{type(e).__name__}: {e}', file=sys.stderr)
                 results[cfg].append(None)
     for cfg in configs:
-        b, rv = cfg
+        b, rv, hp = cfg
         tag = f' rows {rv:5d}' if rv is not None else ''
+        tag += f' pad {hp:2d}' if hp is not None else ''
         vals = [v for v in results[cfg] if v]
         if vals:
             print(f'batch {b:3d}{tag}: {max(vals):7.1f} img/s  '
