@@ -22,6 +22,27 @@ from srcaco2_tpu.train.state import TrainState
 _CKPT = ocp.PyTreeCheckpointer()
 
 
+def _restore(path, template=None):
+    """Cross-platform restore. A checkpoint written on one platform
+    (TPU training) must load on any other (CPU host tooling: eval.py
+    re-scores, roi_rescore, torch_port) — the reference analog is
+    torch.load(map_location=...) (eval.py:113). Plain restore(item=)
+    leaves the deserialization sharding unset and fails when the
+    writing device set differs from the reading one, so with a
+    template we build explicit per-leaf restore args carrying the
+    template's (current-platform) shardings; without one we restore
+    to host numpy."""
+    path = os.path.abspath(path)
+    if template is not None:
+        ra = ocp.checkpoint_utils.construct_restore_args(template)
+        return _CKPT.restore(path, item=template, restore_args=ra)
+    meta = _CKPT.metadata(path)          # StepMetadata
+    tree = meta.item_metadata.tree       # pytree of ArrayMetadata
+    ra = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return _CKPT.restore(path, restore_args=ra)
+
+
 def _models_dir(exp_dir: str) -> str:
     # orbax/tensorstore requires absolute paths.
     return os.path.abspath(os.path.join(exp_dir, 'models'))
@@ -61,27 +82,27 @@ def load_checkpoint(exp_dir: str, state: TrainState,
     if step <= 0:
         return state, 0
     md = _models_dir(exp_dir)
-    params = _CKPT.restore(os.path.join(md, f'{step}_G'),
-                           item=state.params)
+    params = _restore(os.path.join(md, f'{step}_G'),
+                      state.params)
     new = state.replace(params=params)
     opt_path = os.path.join(md, f'{step}_optimizerG')
     if load_optimizer and os.path.isdir(opt_path):
-        aux = _CKPT.restore(opt_path,
-                            item={'opt_state': state.opt_state,
-                                  'step': state.step,
-                                  'elb_t': state.elb_t})
+        aux = _restore(opt_path,
+                       {'opt_state': state.opt_state,
+                        'step': state.step,
+                        'elb_t': state.elb_t})
         new = new.replace(opt_state=aux['opt_state'],
                           step=aux['step'], elb_t=aux['elb_t'])
     else:
         new = new.replace(step=jax.numpy.asarray(step, jax.numpy.int32))
     e_path = os.path.join(md, f'{step}_E')
     if state.ema_params is not None and os.path.isdir(e_path):
-        new = new.replace(ema_params=_CKPT.restore(
-            e_path, item=state.ema_params))
+        new = new.replace(ema_params=_restore(
+            e_path, state.ema_params))
     s_path = os.path.join(md, f'{step}_S')
     if state.model_state and os.path.isdir(s_path):
-        new = new.replace(model_state=_CKPT.restore(
-            s_path, item=state.model_state))
+        new = new.replace(model_state=_restore(
+            s_path, state.model_state))
     return new, step
 
 
@@ -110,7 +131,7 @@ def load_best(exp_dir: str, template, ds_name: Optional[str] = None):
     path = os.path.join(bd, name)
     if not os.path.isdir(path) and ds_name is not None:
         path = os.path.join(bd, 'G-model')
-    return _CKPT.restore(path, item=template)
+    return _restore(path, template)
 
 
 def save_params(path: str, params):
@@ -118,7 +139,7 @@ def save_params(path: str, params):
 
 
 def load_params(path: str, template):
-    return _CKPT.restore(os.path.abspath(path), item=template)
+    return _restore(path, template)
 
 
 def load_params_nonstrict(path: str, template):
@@ -127,7 +148,7 @@ def load_params_nonstrict(path: str, template):
     Leaves present in the checkpoint with matching shapes are taken;
     everything else keeps the template's value."""
     import flax
-    raw = _CKPT.restore(os.path.abspath(path))
+    raw = _restore(path)
     flat_t = flax.traverse_util.flatten_dict(template)
     flat_r = flax.traverse_util.flatten_dict(raw) \
         if isinstance(raw, dict) else {}
