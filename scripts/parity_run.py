@@ -203,7 +203,12 @@ def main():
     exp_id = (ns.tag.strip('_') or 'run') if ns.tag else '123456789'
 
     def this_run(path):
-        return f'id_{exp_id}-' in path
+        # exp id AND net must match: several arms may share a root,
+        # tag, scale and cell while differing only by net (the round-4
+        # family-coverage queue does exactly that), and the exp-dir
+        # path is the only place the net name appears.
+        return (f'id_{exp_id}-' in path
+                and f'-netG_{ns.net}-' in path)
 
     # test numbers: average the per-image test details written by
     # evaluate_test (best-models/details_test_<ds>.yml)
