@@ -118,6 +118,12 @@ def main():
                          'decay AND evaluate/select/test on it '
                          '(train.eval_netE) — the round-4 EMA arm for '
                          'the flagship quality-signature study')
+    ap.add_argument('--roi_select', action='store_true',
+                    help='track ROI metrics during validation and '
+                         'select the best checkpoint on ROI PSNR — the '
+                         "reference's published protocol "
+                         '(--eval_over_roi_also_model_select True, '
+                         'README flagship cmd / BASELINE.md)')
     ap.add_argument('--amp', default=None,
                     help='True/False: bf16 AMP training (the fused-vs-'
                          'windowed numerics A/B runs under AMP, where '
@@ -180,6 +186,9 @@ def main():
         cmd += ['--amp', ns.amp]
     if ns.ema > 0:
         cmd += ['--E_decay', str(ns.ema), '--eval_netE', 'True']
+    if ns.roi_select:
+        cmd += ['--eval_over_roi_also', 'True',
+                '--eval_over_roi_also_model_select', 'True']
     if ns.aligned is not None:
         cmd += ['--train_aligned_crops', ns.aligned]
     if ns.tag:
@@ -288,7 +297,8 @@ def main():
                    'read_sigma': ns.read_sigma,
                    'fused': ns.fused, 'amp': ns.amp, 'ema': ns.ema,
                    'aligned': ns.aligned, 'warmup': ns.warmup,
-                   'optimizer': ns.optimizer or 'adam'},
+                   'optimizer': ns.optimizer or 'adam',
+                   'roi_select': ns.roi_select},
         'bicubic_test': {'full': scalars(bi.get('full', {})),
                          'roi': scalars(bi.get('roi', {}))},
         'trained_test': {k: scalars(v) for k, v in trained.items()},

@@ -66,6 +66,27 @@ class _Cfg(NamedTuple):
     hd_pad: int = 0
 
 
+_HD_PAD_AUTO = -1    # cfg.hd_pad sentinel: resolve per call via heads/c
+
+
+def _parse_hd_pad(v: str) -> int:
+    return _HD_PAD_AUTO if v.strip().lower() == 'auto' else int(v)
+
+
+def _resolve_hd_pad(cfg: _Cfg, heads: int, c: int) -> _Cfg:
+    """Replace the 'auto' sentinel with a concrete pad width BEFORE the
+    cfg is used as an op cache key. Auto rule: pad hd up to the next
+    multiple of 8 iff hd is misaligned and the extra lanes cost <= 25%
+    (measured win at the flagship hd=30: 1.23x train step; tiny heads
+    where padding would inflate the attention matmuls stay unpadded)."""
+    if cfg.hd_pad != _HD_PAD_AUTO:
+        return cfg
+    hd = c // heads
+    hdp = -(-hd // 8) * 8
+    return cfg._replace(
+        hd_pad=hdp if hdp != hd and (hdp - hd) * 4 <= hd else 0)
+
+
 def _env_cfg() -> _Cfg:
     vm = os.environ.get('SRCACO2_SWIN_VMEM_MB')
     return _Cfg(
@@ -86,11 +107,17 @@ def _env_cfg() -> _Cfg:
         ib_rows=int(os.environ.get('SRCACO2_SWIN_IB_ROWS', '512')),
         vmem_mb=float(vm) if vm else None,
         pair=os.environ.get('SRCACO2_SWIN_PAIR', '0') != '0',
-        # Zero-pad each head's q/k/v lane block to this width (0 = off)
-        # so head slices land on MXU-friendly lane offsets while the
-        # model function stays EXACTLY C=180/hd=30 (see _pad_head_lanes;
+        # Zero-pad each head's q/k/v lane block to this width so head
+        # slices land on MXU-friendly lane offsets while the model
+        # function stays EXACTLY C=180/hd=30 (see _pad_head_lanes;
         # shape-control motivation: docs/BENCH_ANALYSIS.md round 4).
-        hd_pad=int(os.environ.get('SRCACO2_SWIN_HD_PAD', '0')))
+        # Default 'auto' (round-4 flip): resolve per call to the next
+        # multiple of 8 above hd when the lane overhead is <= 25% —
+        # the in-process A/B measured hd 30 -> 32 (6.7% extra lanes)
+        # at 39.96 -> 32.48 ms/step train and +18% eval img/s.
+        # Explicit ints override; '0' disables.
+        hd_pad=_parse_hd_pad(os.environ.get('SRCACO2_SWIN_HD_PAD',
+                                            'auto')))
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9
@@ -702,7 +729,8 @@ def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
                           compute_dtype=jnp.bfloat16):
     """Two consecutive Swin blocks (the canonical no-shift/shift pair)
     in one fused kernel. Same params layout as fused_swin_block."""
-    cfg = _env_cfg()._replace(pair=True)
+    cfg = _resolve_hd_pad(_env_cfg()._replace(pair=True), heads,
+                          params_a['proj_kernel'].shape[1])
     op = _make_block_pair_op(heads, interpret,
                              jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
@@ -899,7 +927,8 @@ def fused_swin_block(x, params, bias, *, heads: int,
     mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias.
     Env knobs are snapshot here (see module docstring) and baked into
     the op identity."""
-    cfg = _env_cfg()
+    cfg = _resolve_hd_pad(_env_cfg(), heads,
+                          params['proj_kernel'].shape[1])
     op = _make_block_op(heads, interpret,
                         jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
@@ -1025,7 +1054,8 @@ def fused_swin_block_grouped(x, params, bias_groups, gid, *,
     bias-group selection. x: (B, T, C) tiles ordered so that every
     consecutive run of `ib` tiles shares a bias group; bias_groups:
     (G, nh, T, T); gid: (B//ib,) int32 group per program."""
-    cfg = _env_cfg()
+    cfg = _resolve_hd_pad(_env_cfg(), heads,
+                          params['proj_kernel'].shape[1])
     op = _make_block_op_grouped(heads, interpret,
                                 jnp.dtype(compute_dtype),
                                 cfg, ib)

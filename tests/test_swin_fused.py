@@ -181,6 +181,33 @@ def test_hd_pad_matches_unpadded(data, monkeypatch):
                                    atol=max(3e-6 * scale, 1e-7))
 
 
+def test_hd_pad_auto_default(monkeypatch):
+    """Round-4 flip: SRCACO2_SWIN_HD_PAD defaults to 'auto' — pad hd up
+    to the next multiple of 8 iff the lane overhead is <= 25% (flagship
+    hd=30 -> 32: measured 39.96 -> 32.48 ms/step in-process A/B,
+    /tmp-logged and recorded in docs/BENCH_ANALYSIS.md). Explicit ints
+    override; tiny heads where padding would inflate the attention
+    matmuls stay unpadded."""
+    from srcaco2_tpu.ops.pallas import swin_block as sb
+    monkeypatch.delenv('SRCACO2_SWIN_HD_PAD', raising=False)
+    cfg = sb._env_cfg()
+    assert cfg.hd_pad == sb._HD_PAD_AUTO
+    # flagship: C=180 / 6 heads -> hd 30, 6.7% overhead -> pad to 32
+    assert sb._resolve_hd_pad(cfg, 6, 180).hd_pad == 32
+    # aligned already (hd 32): no-op
+    assert sb._resolve_hd_pad(cfg, 6, 192).hd_pad == 0
+    # tiny heads (hd 6 -> 8 would cost 33% extra lanes): stays off
+    assert sb._resolve_hd_pad(cfg, 6, 36).hd_pad == 0
+    # hd 10 -> 16 (60%): off;  hd 20 -> 24 (20%): on
+    assert sb._resolve_hd_pad(cfg, 6, 60).hd_pad == 0
+    assert sb._resolve_hd_pad(cfg, 6, 120).hd_pad == 24
+    # explicit override wins over auto
+    monkeypatch.setenv('SRCACO2_SWIN_HD_PAD', '0')
+    assert sb._resolve_hd_pad(sb._env_cfg(), 6, 180).hd_pad == 0
+    monkeypatch.setenv('SRCACO2_SWIN_HD_PAD', '32')
+    assert sb._resolve_hd_pad(sb._env_cfg(), 6, 36).hd_pad == 32
+
+
 def test_stack_pair_path_matches_single(data, monkeypatch):
     """FusedBlockStack with SRCACO2_SWIN_PAIR=1 routes pairs through
     the fused pair kernel and matches the per-block path."""
