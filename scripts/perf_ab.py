@@ -36,18 +36,23 @@ def main():
     # default set: production kernel vs its main documented variants;
     # edit freely for one-off experiments (bwd ablation flags 'dw',
     # 'attnbwd', 'mlpbwd' give the component breakdown).
+    # NOTE: HD_PAD / MLP_PAD default to 'auto' since round 4, so every
+    # arm pins them explicitly — an unset key is NOT the unpadded base.
     CONFIGS = [
-        ('base', {}),
-        ('hd-pad-32', {'SRCACO2_SWIN_HD_PAD': '32'}),
-        ('f32-softmax', {'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
-        ('hd-pad-32 f32sm', {'SRCACO2_SWIN_HD_PAD': '32',
-                             'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
-        ('pair-fused', {'SRCACO2_SWIN_PAIR': '1'}),
+        ('pads-off', {'SRCACO2_SWIN_HD_PAD': '0',
+                      'SRCACO2_SWIN_MLP_PAD': '0'}),
+        ('hd-pad-32', {'SRCACO2_SWIN_HD_PAD': '32',
+                       'SRCACO2_SWIN_MLP_PAD': '0'}),
+        ('mlp-pad-384', {'SRCACO2_SWIN_HD_PAD': '0',
+                         'SRCACO2_SWIN_MLP_PAD': '384'}),
+        ('auto (hd32+mlp384)', {}),
+        ('auto f32sm', {'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',
                 'SRCACO2_SWIN_HEADS_BATCHED', 'SRCACO2_SWIN_PAIR',
-                'SRCACO2_SWIN_F32_SOFTMAX', 'SRCACO2_SWIN_HD_PAD']
+                'SRCACO2_SWIN_F32_SOFTMAX', 'SRCACO2_SWIN_HD_PAD',
+                'SRCACO2_SWIN_MLP_PAD']
 
     stack = FusedBlockStack(dim=c, depth=36, num_heads=heads,
                             window_size=ws, mlp_ratio=mlp,

@@ -55,6 +55,10 @@ def main():
     key = jax.random.key(0)
     # production bf16-chain numerics (the benchmark's definition)
     os.environ['SRCACO2_SWIN_F32_SOFTMAX'] = '0'
+    # the shape control measures the RAW architecture widths — pin the
+    # (round-4, default-auto) lane pads off so C=180 stays hd=30/ch=360
+    os.environ['SRCACO2_SWIN_HD_PAD'] = '0'
+    os.environ['SRCACO2_SWIN_MLP_PAD'] = '0'
 
     CONFIGS = [
         ('C180 h6 (hd30, prod)', 180, 6),

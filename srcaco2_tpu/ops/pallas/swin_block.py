@@ -64,6 +64,7 @@ class _Cfg(NamedTuple):
     vmem_mb: Optional[float] = None
     pair: bool = False
     hd_pad: int = 0
+    mlp_pad: int = 0
 
 
 _HD_PAD_AUTO = -1    # cfg.hd_pad sentinel: resolve per call via heads/c
@@ -73,18 +74,25 @@ def _parse_hd_pad(v: str) -> int:
     return _HD_PAD_AUTO if v.strip().lower() == 'auto' else int(v)
 
 
-def _resolve_hd_pad(cfg: _Cfg, heads: int, c: int) -> _Cfg:
-    """Replace the 'auto' sentinel with a concrete pad width BEFORE the
-    cfg is used as an op cache key. Auto rule: pad hd up to the next
-    multiple of 8 iff hd is misaligned and the extra lanes cost <= 25%
-    (measured win at the flagship hd=30: 1.23x train step; tiny heads
-    where padding would inflate the attention matmuls stay unpadded)."""
-    if cfg.hd_pad != _HD_PAD_AUTO:
-        return cfg
-    hd = c // heads
-    hdp = -(-hd // 8) * 8
-    return cfg._replace(
-        hd_pad=hdp if hdp != hd and (hdp - hd) * 4 <= hd else 0)
+def _resolve_pads(cfg: _Cfg, heads: int, c: int, ch: int) -> _Cfg:
+    """Replace the 'auto' sentinels with concrete pad widths BEFORE the
+    cfg is used as an op cache key. Auto rules (both capped at <= 25%
+    extra lanes): hd_pad — pad each head's lane block up to the next
+    multiple of 8 iff hd is misaligned (measured win at the flagship
+    hd=30: 1.23x train step); mlp_pad — pad the MLP hidden width up to
+    the next multiple of 128 (the VPU/MXU lane tile) iff ch is
+    misaligned (flagship ch=360 -> 384). Tiny widths where padding
+    would inflate the matmuls stay unpadded."""
+    if cfg.hd_pad == _HD_PAD_AUTO:
+        hd = c // heads
+        hdp = -(-hd // 8) * 8
+        cfg = cfg._replace(
+            hd_pad=hdp if hdp != hd and (hdp - hd) * 4 <= hd else 0)
+    if cfg.mlp_pad == _HD_PAD_AUTO:
+        chp = -(-ch // 128) * 128
+        cfg = cfg._replace(
+            mlp_pad=chp if chp != ch and (chp - ch) * 4 <= ch else 0)
+    return cfg
 
 
 def _env_cfg() -> _Cfg:
@@ -117,7 +125,13 @@ def _env_cfg() -> _Cfg:
         # at 39.96 -> 32.48 ms/step train and +18% eval img/s.
         # Explicit ints override; '0' disables.
         hd_pad=_parse_hd_pad(os.environ.get('SRCACO2_SWIN_HD_PAD',
-                                            'auto')))
+                                            'auto')),
+        # Zero-pad the MLP hidden width ch -> this (gelu(0)=0 makes the
+        # pad exact in fwd AND bwd: zero w1 cols -> zero hidden lanes
+        # -> erased by the matching zero w2 rows). Same 'auto' rule,
+        # 128-lane targets (flagship ch=360 -> 384).
+        mlp_pad=_parse_hd_pad(os.environ.get('SRCACO2_SWIN_MLP_PAD',
+                                             'auto')))
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9
@@ -729,8 +743,9 @@ def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
                           compute_dtype=jnp.bfloat16):
     """Two consecutive Swin blocks (the canonical no-shift/shift pair)
     in one fused kernel. Same params layout as fused_swin_block."""
-    cfg = _resolve_hd_pad(_env_cfg()._replace(pair=True), heads,
-                          params_a['proj_kernel'].shape[1])
+    cfg = _resolve_pads(_env_cfg()._replace(pair=True), heads,
+                        params_a['proj_kernel'].shape[1],
+                        params_a['mlp1_kernel'].shape[1])
     op = _make_block_pair_op(heads, interpret,
                              jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
@@ -744,11 +759,15 @@ def fused_swin_block_pair(x, params_a, bias_a, params_b, bias_b, *,
         if cfg.hd_pad:
             wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads,
                                          cfg.hd_pad)
+        w1, bm1, w2 = (params['mlp1_kernel'].astype(f32),
+                       v('mlp1_bias'),
+                       params['mlp2_kernel'].astype(f32))
+        if cfg.mlp_pad:
+            w1, bm1, w2 = _pad_mlp_lanes(w1, bm1, w2, cfg.mlp_pad)
         return (v('ln1_scale'), v('ln1_bias'), wq, bq,
                 wp, v('proj_bias'),
                 v('ln2_scale'), v('ln2_bias'),
-                params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
-                params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+                w1, bm1, w2, v('mlp2_bias'),
                 bias.astype(f32))
 
     return op(x, *pack(params_a, bias_a), *pack(params_b, bias_b))
@@ -917,6 +936,23 @@ def _pad_head_lanes(wq, bq, wproj, heads, hdp):
     return wq, bq, wproj
 
 
+def _pad_mlp_lanes(w1, bm1, w2, chp):
+    """Zero-pad the MLP hidden width ch -> chp so the (m, ch) hidden
+    activations tile the 128-wide lanes exactly (flagship ch=360 puts
+    the last tile at 104/128). EXACT like _pad_head_lanes: padded w1
+    columns and bm1 entries produce u=0 hidden lanes, gelu(0)=0, and
+    the matching zero w2 rows erase them from the output; in the
+    backward, dh on the padded lanes is g @ (zero w2 rows) = 0, so
+    dw1/dbm1 pad-grads vanish and the XLA pad-op VJP slices grads back
+    to the model shapes."""
+    ch = w1.shape[1]
+    if chp <= ch:
+        return w1, bm1, w2
+    pad = (0, chp - ch)
+    return (jnp.pad(w1, [(0, 0), pad]), jnp.pad(bm1, [(0, 0), pad]),
+            jnp.pad(w2, [pad, (0, 0)]))
+
+
 def fused_swin_block(x, params, bias, *, heads: int,
                      interpret: bool = False,
                      compute_dtype=jnp.bfloat16):
@@ -927,8 +963,9 @@ def fused_swin_block(x, params, bias, *, heads: int,
     mlp2_bias (C,); bias: (nh, T, T) combined additive attn bias.
     Env knobs are snapshot here (see module docstring) and baked into
     the op identity."""
-    cfg = _resolve_hd_pad(_env_cfg(), heads,
-                          params['proj_kernel'].shape[1])
+    cfg = _resolve_pads(_env_cfg(), heads,
+                        params['proj_kernel'].shape[1],
+                        params['mlp1_kernel'].shape[1])
     op = _make_block_op(heads, interpret,
                         jnp.dtype(compute_dtype), cfg)
     f32 = jnp.float32
@@ -941,11 +978,14 @@ def fused_swin_block(x, params, bias, *, heads: int,
     wp = params['proj_kernel'].astype(f32)
     if cfg.hd_pad:
         wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads, cfg.hd_pad)
+    w1, bm1, w2 = (params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+                   params['mlp2_kernel'].astype(f32))
+    if cfg.mlp_pad:
+        w1, bm1, w2 = _pad_mlp_lanes(w1, bm1, w2, cfg.mlp_pad)
     wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
           wp, v('proj_bias'),
           v('ln2_scale'), v('ln2_bias'),
-          params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
-          params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+          w1, bm1, w2, v('mlp2_bias'),
           bias.astype(f32))
     return op(x, *wb)
 
@@ -1054,8 +1094,9 @@ def fused_swin_block_grouped(x, params, bias_groups, gid, *,
     bias-group selection. x: (B, T, C) tiles ordered so that every
     consecutive run of `ib` tiles shares a bias group; bias_groups:
     (G, nh, T, T); gid: (B//ib,) int32 group per program."""
-    cfg = _resolve_hd_pad(_env_cfg(), heads,
-                          params['proj_kernel'].shape[1])
+    cfg = _resolve_pads(_env_cfg(), heads,
+                        params['proj_kernel'].shape[1],
+                        params['mlp1_kernel'].shape[1])
     op = _make_block_op_grouped(heads, interpret,
                                 jnp.dtype(compute_dtype),
                                 cfg, ib)
@@ -1069,10 +1110,13 @@ def fused_swin_block_grouped(x, params, bias_groups, gid, *,
     wp = params['proj_kernel'].astype(f32)
     if cfg.hd_pad:
         wq, bq, wp = _pad_head_lanes(wq, bq, wp, heads, cfg.hd_pad)
+    w1, bm1, w2 = (params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
+                   params['mlp2_kernel'].astype(f32))
+    if cfg.mlp_pad:
+        w1, bm1, w2 = _pad_mlp_lanes(w1, bm1, w2, cfg.mlp_pad)
     wb = (v('ln1_scale'), v('ln1_bias'), wq, bq,
           wp, v('proj_bias'),
           v('ln2_scale'), v('ln2_bias'),
-          params['mlp1_kernel'].astype(f32), v('mlp1_bias'),
-          params['mlp2_kernel'].astype(f32), v('mlp2_bias'),
+          w1, bm1, w2, v('mlp2_bias'),
           bias_groups.astype(f32))
     return op(x, gid, *wb)

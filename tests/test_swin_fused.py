@@ -190,22 +190,77 @@ def test_hd_pad_auto_default(monkeypatch):
     matmuls stay unpadded."""
     from srcaco2_tpu.ops.pallas import swin_block as sb
     monkeypatch.delenv('SRCACO2_SWIN_HD_PAD', raising=False)
+    monkeypatch.delenv('SRCACO2_SWIN_MLP_PAD', raising=False)
     cfg = sb._env_cfg()
     assert cfg.hd_pad == sb._HD_PAD_AUTO
-    # flagship: C=180 / 6 heads -> hd 30, 6.7% overhead -> pad to 32
-    assert sb._resolve_hd_pad(cfg, 6, 180).hd_pad == 32
-    # aligned already (hd 32): no-op
-    assert sb._resolve_hd_pad(cfg, 6, 192).hd_pad == 0
-    # tiny heads (hd 6 -> 8 would cost 33% extra lanes): stays off
-    assert sb._resolve_hd_pad(cfg, 6, 36).hd_pad == 0
+    assert cfg.mlp_pad == sb._HD_PAD_AUTO
+    # flagship: C=180 / 6 heads -> hd 30, 6.7% overhead -> pad to 32;
+    # MLP hidden ch=360 -> 384 (next 128 multiple, 6.7%)
+    r = sb._resolve_pads(cfg, 6, 180, 360)
+    assert r.hd_pad == 32 and r.mlp_pad == 384
+    # aligned already (hd 32, ch 384): no-op
+    r = sb._resolve_pads(cfg, 6, 192, 384)
+    assert r.hd_pad == 0 and r.mlp_pad == 0
+    # tiny widths (hd 6 -> 8 = 33%; ch 72 -> 128 = 78%): stay off
+    r = sb._resolve_pads(cfg, 6, 36, 72)
+    assert r.hd_pad == 0 and r.mlp_pad == 0
     # hd 10 -> 16 (60%): off;  hd 20 -> 24 (20%): on
-    assert sb._resolve_hd_pad(cfg, 6, 60).hd_pad == 0
-    assert sb._resolve_hd_pad(cfg, 6, 120).hd_pad == 24
+    assert sb._resolve_pads(cfg, 6, 60, 384).hd_pad == 0
+    assert sb._resolve_pads(cfg, 6, 120, 384).hd_pad == 24
     # explicit override wins over auto
     monkeypatch.setenv('SRCACO2_SWIN_HD_PAD', '0')
-    assert sb._resolve_hd_pad(sb._env_cfg(), 6, 180).hd_pad == 0
+    monkeypatch.setenv('SRCACO2_SWIN_MLP_PAD', '0')
+    r = sb._resolve_pads(sb._env_cfg(), 6, 180, 360)
+    assert r.hd_pad == 0 and r.mlp_pad == 0
     monkeypatch.setenv('SRCACO2_SWIN_HD_PAD', '32')
-    assert sb._resolve_hd_pad(sb._env_cfg(), 6, 36).hd_pad == 32
+    monkeypatch.setenv('SRCACO2_SWIN_MLP_PAD', '128')
+    r = sb._resolve_pads(sb._env_cfg(), 6, 36, 72)
+    assert r.hd_pad == 32 and r.mlp_pad == 128
+
+
+def test_mlp_pad_matches_unpadded(data, monkeypatch):
+    """SRCACO2_SWIN_MLP_PAD zero-pads the MLP hidden width (ch 72 ->
+    128 here; 360 -> 384 at the flagship) purely inside the weights;
+    gelu(0)=0 makes the pad exact in forward and backward — outputs and
+    grads (in MODEL shapes) must agree to reduction-order rounding,
+    single and pair kernels."""
+    from srcaco2_tpu.ops.pallas.swin_block import fused_swin_block_pair
+    x, params_a, tables = data
+    params_b = _params(2)
+    bias = build_attn_bias(tables, H, W, WS)
+
+    def loss_single(x, p):
+        y = fused_swin_block(x, p, bias[1], heads=NH,
+                             interpret=True, compute_dtype=F32)
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_pair(x, pa, pb):
+        y = fused_swin_block_pair(x, pa, bias[0], pb, bias[1],
+                                  heads=NH, interpret=True,
+                                  compute_dtype=F32)
+        return jnp.sum(jnp.sin(y)), y
+
+    (v0, y0), g0 = jax.value_and_grad(loss_single, argnums=(0, 1),
+                                      has_aux=True)(x, params_a)
+    (vp0, yp0), gp0 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2),
+                                         has_aux=True)(
+        x, params_a, params_b)
+    monkeypatch.setenv('SRCACO2_SWIN_MLP_PAD', '128')
+    (v1, y1), g1 = jax.value_and_grad(loss_single, argnums=(0, 1),
+                                      has_aux=True)(x, params_a)
+    (vp1, yp1), gp1 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2),
+                                         has_aux=True)(
+        x, params_a, params_b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yp1), np.asarray(yp0),
+                               atol=2e-6)
+    for a, b in list(zip(jax.tree.leaves(g1), jax.tree.leaves(g0))) \
+            + list(zip(jax.tree.leaves(gp1), jax.tree.leaves(gp0))):
+        assert a.shape == b.shape        # grads are in MODEL shapes
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=max(3e-6 * scale, 1e-7))
 
 
 def test_stack_pair_path_matches_single(data, monkeypatch):
