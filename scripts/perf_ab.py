@@ -36,17 +36,21 @@ def main():
     # default set: production kernel vs its main documented variants;
     # edit freely for one-off experiments (bwd ablation flags 'dw',
     # 'attnbwd', 'mlpbwd' give the component breakdown).
-    # NOTE: HD_PAD / MLP_PAD default to 'auto' since round 4, so every
-    # arm pins them explicitly — an unset key is NOT the unpadded base.
+    # NOTE: HD_PAD defaults to 'auto' since round 4 (MLP_PAD stays
+    # '0' until proven), so every arm pins both explicitly — an unset
+    # key is NOT the unpadded base.
     CONFIGS = [
         ('pads-off', {'SRCACO2_SWIN_HD_PAD': '0',
                       'SRCACO2_SWIN_MLP_PAD': '0'}),
-        ('hd-pad-32', {'SRCACO2_SWIN_HD_PAD': '32',
-                       'SRCACO2_SWIN_MLP_PAD': '0'}),
+        ('hd-pad-32 (prod)', {'SRCACO2_SWIN_HD_PAD': '32',
+                              'SRCACO2_SWIN_MLP_PAD': '0'}),
         ('mlp-pad-384', {'SRCACO2_SWIN_HD_PAD': '0',
                          'SRCACO2_SWIN_MLP_PAD': '384'}),
-        ('auto (hd32+mlp384)', {}),
-        ('auto f32sm', {'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
+        ('hd32+mlp384', {'SRCACO2_SWIN_HD_PAD': '32',
+                         'SRCACO2_SWIN_MLP_PAD': '384'}),
+        ('prod f32sm', {'SRCACO2_SWIN_HD_PAD': '32',
+                        'SRCACO2_SWIN_MLP_PAD': '0',
+                        'SRCACO2_SWIN_F32_SOFTMAX': '1'}),
     ]
     ENV_KEYS = ['SRCACO2_SWIN_BWD_RS', 'SRCACO2_SWIN_IB_ROWS',
                 'SRCACO2_SWIN_VMEM_MB', 'SRCACO2_SWIN_BWD_ABLATE',

@@ -128,10 +128,14 @@ def _env_cfg() -> _Cfg:
                                             'auto')),
         # Zero-pad the MLP hidden width ch -> this (gelu(0)=0 makes the
         # pad exact in fwd AND bwd: zero w1 cols -> zero hidden lanes
-        # -> erased by the matching zero w2 rows). Same 'auto' rule,
-        # 128-lane targets (flagship ch=360 -> 384).
+        # -> erased by the matching zero w2 rows). 'auto' pads to the
+        # next 128-lane tile (flagship ch=360 -> 384), but unlike
+        # hd_pad the default stays OFF: ch=360 already spans >=2 lane
+        # tiles so the misalignment tax is small, and the +6.7% MLP
+        # FLOPs is a certain cost — flip to 'auto' only if the TPU
+        # in-process A/B (scripts/perf_ab.py 'mlp-pad-384' arm) wins.
         mlp_pad=_parse_hd_pad(os.environ.get('SRCACO2_SWIN_MLP_PAD',
-                                             'auto')))
+                                             '0')))
 
 MAX_T = 256          # full-attention token cap (VMEM budget)
 NEG_INF = -1e9

@@ -193,6 +193,11 @@ def test_hd_pad_auto_default(monkeypatch):
     monkeypatch.delenv('SRCACO2_SWIN_MLP_PAD', raising=False)
     cfg = sb._env_cfg()
     assert cfg.hd_pad == sb._HD_PAD_AUTO
+    # mlp_pad defaults OFF (unproven on TPU; see _env_cfg comment) —
+    # opt in with SRCACO2_SWIN_MLP_PAD=auto
+    assert cfg.mlp_pad == 0
+    monkeypatch.setenv('SRCACO2_SWIN_MLP_PAD', 'auto')
+    cfg = sb._env_cfg()
     assert cfg.mlp_pad == sb._HD_PAD_AUTO
     # flagship: C=180 / 6 heads -> hd 30, 6.7% overhead -> pad to 32;
     # MLP hidden ch=360 -> 384 (next 128 multiple, 6.7%)
