@@ -118,6 +118,10 @@ def main():
                          'decay AND evaluate/select/test on it '
                          '(train.eval_netE) — the round-4 EMA arm for '
                          'the flagship quality-signature study')
+    ap.add_argument('--harvest_only', action='store_true',
+                    help='skip training; rebuild the committed yaml '
+                         'from an existing finished exp dir (e.g. to '
+                         're-harvest with newer harvest code)')
     ap.add_argument('--roi_select', action='store_true',
                     help='track ROI metrics during validation and '
                          'select the best checkpoint on ROI PSNR — the '
@@ -195,10 +199,11 @@ def main():
         # distinct exp dir per arm — otherwise a second arm sharing the
         # root hits the previous arm's passed.txt sentinel and exits
         cmd += ['--exp_id', ns.tag.strip('_') or 'run']
-    print('#', ' '.join(cmd))
-    env = dict(os.environ)
-    r = subprocess.run(cmd, cwd=root, env=env)
-    assert r.returncode == 0, r.returncode
+    if not ns.harvest_only:
+        print('#', ' '.join(cmd))
+        env = dict(os.environ)
+        r = subprocess.run(cmd, cwd=root, env=env)
+        assert r.returncode == 0, r.returncode
 
     # collect: bicubic floor + trained numbers via the parity-harness
     # eval path, write the committed yaml.
