@@ -106,6 +106,84 @@ def test_ema_eval_netE(tmp_path):
     assert exp.eval_params() is exp.state.params
 
 
+def test_roi_model_select_override(tmp_path, monkeypatch):
+    """`eval_over_roi_also_model_select=True` switches best-checkpoint
+    selection from full-image PSNR to ROI PSNR (the reference's
+    published flagship protocol, README cmd / utils_trainer.py:874
+    model-select arm). Scripted metric schedules where the two axes
+    disagree must make the saves follow the ROI axis."""
+    import srcaco2_tpu.train.trainer as TR
+    from srcaco2_tpu.data.synthetic import make_synthetic_dataset
+    from srcaco2_tpu.train.trainer import Experiment
+
+    root = str(tmp_path)
+    names = make_synthetic_dataset(root, scale=2, cell='CELL0',
+                                   n_train=4, n_val=1, n_test=1, size=32)
+    args = get_args([
+        '--net_type', 'SRCNN', '--scale', '2', '--h_size', '16',
+        '--n_channels', '1',
+        '--train_dsets', names[0], '--valid_dsets', names[1],
+        '--test_dsets', names[2],
+        '--data_root', root, '--splits_root', root,
+        '--l2', 'True', '--max_epochs', '1', '--batch_size', '2',
+        '--eval_bsize', '1',
+        '--eval_over_roi_also', 'True',
+        '--eval_over_roi_also_model_select', 'True'])
+    args['abs_fd_exp'] = os.path.join(root, 'exp')
+    os.makedirs(args['abs_fd_exp'], exist_ok=True)
+    exp = Experiment(args)
+
+    # full PSNR improves monotonically; ROI PSNR peaks at call 1
+    full_psnr = [20.0, 21.0, 22.0]
+    roi_psnr = [30.0, 35.0, 31.0]
+    call = {'i': -1}
+
+    def mk(v):
+        return {constants.PSNR_MTR: v, 'psnr_y': v, 'ssim': 0.5,
+                'nrmse': 0.1, 'mse': 10.0}
+
+    def fake_eval(forward, params, ds, a, bs, split, **kw):
+        i = call['i'] = call['i'] + 1
+        return {'full': mk(full_psnr[i]), 'roi': mk(roi_psnr[i]),
+                'details': {}, 'n': 1, 'time': 0.0}
+
+    saves = []
+
+    def fake_save_best(d, p, n=None):
+        os.makedirs(os.path.join(d, 'best-models'), exist_ok=True)
+        saves.append(call['i'])
+
+    monkeypatch.setattr(TR, 'fast_eval', fake_eval)
+    monkeypatch.setattr(TR.CKPT, 'save_best', fake_save_best)
+    monkeypatch.setattr(Experiment, 'evaluate_test',
+                        lambda self, step, use_best=True: None)
+
+    for step in (100, 200, 300):
+        exp._validate(step)
+    # calls 0 and 1 improve ROI; call 2 improves FULL only — with the
+    # override on, no save may happen there
+    assert saves == [0, 1]
+    # the roi tracker's best index is the ROI peak, and the full
+    # tracker's best_val tracked its own axis independently
+    ds = args['valid_dsets']
+    assert exp.roi_tracker[constants.VALIDSET][ds][
+        constants.PSNR_MTR]['idx_best'] == 1
+    assert exp.tracker[constants.VALIDSET][ds][
+        constants.PSNR_MTR]['best_val'] == 22.0
+
+    # control: same schedules with the override OFF select call 2
+    args2 = dict(args)
+    args2['eval_over_roi_also_model_select'] = False
+    args2['abs_fd_exp'] = os.path.join(root, 'exp2')
+    os.makedirs(args2['abs_fd_exp'], exist_ok=True)
+    exp2 = Experiment(args2)
+    call['i'] = -1
+    saves.clear()
+    for step in (100, 200, 300):
+        exp2._validate(step)
+    assert saves == [0, 1, 2]
+
+
 def test_superstep_equivalent():
     """K lax.scan'ed steps (steps_per_call) must equal K dispatched
     steps: same per-step RNG folds, optimizer, EMA. Losses match
