@@ -39,16 +39,24 @@ def main():
         print('no PARITY_RUN yamls with curves found')
         return
 
-    fig, axes = plt.subplots(2, len(runs), squeeze=False,
-                             figsize=(4.6 * len(runs), 6.4))
-    for j, (name, d) in enumerate(runs):
+    # wrap into banks of <=6 runs per row-pair so the figure stays
+    # readable as the run count grows
+    per_row = 6
+    n_banks = (len(runs) + per_row - 1) // per_row
+    fig, axes = plt.subplots(2 * n_banks, per_row, squeeze=False,
+                             figsize=(4.6 * per_row, 6.4 * n_banks))
+    for ax in axes.ravel():
+        ax.set_visible(False)
+    for idx, (name, d) in enumerate(runs):
+        bank, j = divmod(idx, per_row)
         c = d['curves']
         cfg = d.get('config', {})
         title = (f"{cfg.get('net')} x{cfg.get('scale')} "
                  f"{cfg.get('loss')}"
                  + (f" fused={cfg.get('fused')}"
                     if cfg.get('fused') is not None else ''))
-        ax = axes[0][j]
+        ax = axes[2 * bank][j]
+        ax.set_visible(True)
         for k, v in c.items():
             if k.startswith('train_') and k.endswith('_per_epoch'):
                 ax.plot(np.linspace(0, 1, len(v)), v,
@@ -58,7 +66,8 @@ def main():
         ax.set_xlabel('training progress')
         ax.set_ylabel('train loss')
         ax.legend(fontsize=7)
-        ax = axes[1][j]
+        ax = axes[2 * bank + 1][j]
+        ax.set_visible(True)
         bi = d.get('bicubic_test', {}).get('full', {}).get('psnr')
         for k in c:
             if k.startswith('valid_psnr_'):
