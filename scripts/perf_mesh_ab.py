@@ -80,11 +80,13 @@ def main():
         st = TrainState.create(jax.tree.map(jnp.copy, params), tx)
         return jax.device_put(st, put) if put else st
 
-    arms = []
-    for name, use_mesh, k in (('plain K=1', False, 1),
-                              ('mesh1 K=1', True, 1),
-                              ('plain K=8', False, 8),
-                              ('mesh1 K=8', True, 8)):
+    # Sequential per-arm timing. The interleaved (perf_ab) discipline
+    # is NOT usable here: the axon tunnel deterministically rejects
+    # re-executing the plain program after a mesh-program warmup
+    # (INVALID_ARGUMENT on the next fetch, reproduced twice at the
+    # same line). Drift guard instead: arm 0 is re-timed at the end
+    # and reported as 'plain K=1 (recheck)'.
+    def measure(name, use_mesh, k):
         fn = make_train_step(model, master, tx, constants.SWINIR,
                              pipe_cfg, steps_per_epoch=100,
                              netG=args['netG'], donate=False,
@@ -106,29 +108,33 @@ def main():
         st2, holder, ok = fn(st, h, l, i, key)
         float(jnp.sum(jnp.atleast_1d(holder['total'])
                       .astype(jnp.float32)))
-        arms.append((name, fn, st, h, l, i, k))
         print(f'# compiled: {name}', flush=True)
-
-    res = {n: [] for n, *_ in arms}
-    for _ in range(ns.rounds):
-        for name, fn, st, h, l, i, k in arms:
-            s2, hd, _ = fn(st, h, l, i, key)
-            float(jnp.sum(jnp.atleast_1d(hd['total'])
-                          .astype(jnp.float32)))
+        vals = []
+        for _ in range(ns.rounds):
             t0 = time.perf_counter()
-            s = st
             for _ in range(ns.iters):
                 s2, hd, _ = fn(st, h, l, i, key)
             float(jnp.sum(jnp.atleast_1d(hd['total'])
                           .astype(jnp.float32)))
             dt = time.perf_counter() - t0
-            res[name].append(ns.iters * k * ns.batch / dt)
-    for name, vals in res.items():
+            vals.append(ns.iters * k * ns.batch / dt)
         print(json.dumps({'arm': name,
                           'patches_per_s': round(
                               statistics.median(vals), 1),
                           'runs': [round(v) for v in vals]}),
               flush=True)
+        return statistics.median(vals)
+
+    for name, use_mesh, k in (('plain K=1', False, 1),
+                              ('mesh1 K=1', True, 1),
+                              ('plain K=8', False, 8),
+                              ('mesh1 K=8', True, 8)):
+        measure(name, use_mesh, k)
+    try:
+        measure('plain K=1 (recheck)', False, 1)
+    except Exception as e:  # the known tunnel mesh->plain rejection
+        print(f'# recheck arm failed (tunnel mesh->plain '
+              f'rejection): {type(e).__name__}', flush=True)
 
 
 if __name__ == '__main__':
