@@ -130,10 +130,12 @@ def _env_cfg() -> _Cfg:
         # pad exact in fwd AND bwd: zero w1 cols -> zero hidden lanes
         # -> erased by the matching zero w2 rows). 'auto' pads to the
         # next 128-lane tile (flagship ch=360 -> 384), but unlike
-        # hd_pad the default stays OFF: ch=360 already spans >=2 lane
-        # tiles so the misalignment tax is small, and the +6.7% MLP
-        # FLOPs is a certain cost — flip to 'auto' only if the TPU
-        # in-process A/B (scripts/perf_ab.py 'mlp-pad-384' arm) wins.
+        # hd_pad the default stays OFF: the TPU in-process A/B
+        # (scripts/perf_ab.py 'mlp-pad-384' arm, 2026-08-19) measured
+        # it flat-to-negative — 32.20 ms (hd_pad only) vs 32.33 ms
+        # (hd_pad+mlp_pad); Mosaic already tiles the 360-wide hidden
+        # dim well, so the pad only adds its +6.7% FLOPs. The knob
+        # stays for other widths (docs/BENCH_ANALYSIS.md).
         mlp_pad=_parse_hd_pad(os.environ.get('SRCACO2_SWIN_MLP_PAD',
                                              '0')))
 
