@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Rebuild the registration-fixed 256-tile benchmark (big2) exactly as
 round 3 built it (scripts/parity_run.py make_raw_sessions with
-n_tiles=256, seed=0, photon_coef=8, read_sigma=2.5; builder defaults
+n_tiles=256, seed=0, photon_coef=8, read_sigma=2.5; builder settings
 hr 512 / psize 128 / del_border 8 / min_area 0.1 / th 4.0 /
-n_test_tiles 2 / n_valid_tiles 1). Deterministic from seed 0, so the
+n_test_tiles 8 / n_valid_tiles 2 — the argparse defaults below, which
+match the on-disk folds: 113 test patches ≈ 8 tiles; do NOT "fix"
+them to parity_run's 2/1 defaults). Deterministic from seed 0, so the
 rebuild is bit-identical to the round-3 data the committed
 PARITY_RUN_*_big2.yaml floors were measured on (verify with
 diagnosis.parity.eval_bicubic against those yamls).

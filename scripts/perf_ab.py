@@ -36,18 +36,25 @@ def main():
     # default set: production kernel vs its main documented variants;
     # edit freely for one-off experiments (bwd ablation flags 'dw',
     # 'attnbwd', 'mlpbwd' give the component breakdown).
-    # NOTE: HD_PAD defaults to 'auto' since round 4 (MLP_PAD stays
-    # '0' until proven), so every arm pins both explicitly — an unset
-    # key is NOT the unpadded base.
+    # NOTE: HD_PAD defaults to 'auto' and F32_SOFTMAX defaults to '1'
+    # since round 4 (MLP_PAD stays '0' — measured and retired), so
+    # every arm pins ALL THREE explicitly — an unset key is NOT the
+    # unpadded/bf16 base. Base arms pin the bf16 softmax chain
+    # (bench.py's cross-round comparison chain); the last arm prices
+    # the f32 chain main.py training defaults to.
     CONFIGS = [
         ('pads-off', {'SRCACO2_SWIN_HD_PAD': '0',
-                      'SRCACO2_SWIN_MLP_PAD': '0'}),
+                      'SRCACO2_SWIN_MLP_PAD': '0',
+                      'SRCACO2_SWIN_F32_SOFTMAX': '0'}),
         ('hd-pad-32 (prod)', {'SRCACO2_SWIN_HD_PAD': '32',
-                              'SRCACO2_SWIN_MLP_PAD': '0'}),
+                              'SRCACO2_SWIN_MLP_PAD': '0',
+                              'SRCACO2_SWIN_F32_SOFTMAX': '0'}),
         ('mlp-pad-384', {'SRCACO2_SWIN_HD_PAD': '0',
-                         'SRCACO2_SWIN_MLP_PAD': '384'}),
+                         'SRCACO2_SWIN_MLP_PAD': '384',
+                         'SRCACO2_SWIN_F32_SOFTMAX': '0'}),
         ('hd32+mlp384', {'SRCACO2_SWIN_HD_PAD': '32',
-                         'SRCACO2_SWIN_MLP_PAD': '384'}),
+                         'SRCACO2_SWIN_MLP_PAD': '384',
+                         'SRCACO2_SWIN_F32_SOFTMAX': '0'}),
         ('prod f32sm', {'SRCACO2_SWIN_HD_PAD': '32',
                         'SRCACO2_SWIN_MLP_PAD': '0',
                         'SRCACO2_SWIN_F32_SOFTMAX': '1'}),

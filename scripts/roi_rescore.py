@@ -54,13 +54,20 @@ def rescore(exp):
 
 
 def main():
+    import argparse
     global OUT
-    exps = sys.argv[1:]
-    if exps and exps[0] == '--out':
-        OUT = os.path.abspath(exps[1])
-        exps = exps[2:]
-    if exps == ['--all']:
-        exps = sorted(
+    ap = argparse.ArgumentParser(
+        description='re-score finished exps over ROI; merges into '
+                    '--out (existing keys for other exps are kept)')
+    ap.add_argument('exps', nargs='*', help='experiment directories')
+    ap.add_argument('--out', default=OUT)
+    ap.add_argument('--all', action='store_true',
+                    help='all finished id_big2* exps')
+    ns = ap.parse_args()
+    OUT = os.path.abspath(ns.out)
+    exps = ns.exps
+    if ns.all:
+        exps += sorted(
             d for d in glob.glob(os.path.join(
                 REPO, '.parity_big2', 'exps', 'super-resolution',
                 '*', '*', 'id_big2*'))

@@ -3,6 +3,10 @@
 reference's published layout: one section per scale, one row per
 method + the bicubic floor, PSNR/NRMSE/SSIM per cell + 3-cell means).
 
+Row rendering is shared with the onboarding kit
+(srcaco2_tpu.diagnosis.parity._fmt_row) so the two Table-5 emitters
+cannot drift.
+
 Usage: python scripts/sweep_table.py --results eval_all_results.json \
            [--out docs/sweep_table.md]
 """
@@ -14,28 +18,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), '..'))
 
-import numpy as np
-
 from srcaco2_tpu import constants
+from srcaco2_tpu.diagnosis.parity import _fmt_row
 
 CELLS = list(constants.CELLS)
-
-
-def fmt(cellvals):
-    out = []
-    for c in CELLS:
-        m = cellvals.get(c)
-        out.append('—' if not m else
-                   f"{m['psnr']:.2f} / {m.get('nrmse', float('nan')):.4f}"
-                   f" / {m['ssim']:.4f}")
-    have = [cellvals[c] for c in CELLS if cellvals.get(c)]
-    if have:
-        out.append(f"{np.mean([m['psnr'] for m in have]):.2f} / "
-                   f"{np.mean([m.get('nrmse', float('nan')) for m in have]):.4f} / "
-                   f"{np.mean([m['ssim'] for m in have]):.4f}")
-    else:
-        out.append('—')
-    return out
 
 
 def main():
@@ -66,8 +52,7 @@ def main():
                   '|---|' + '---|' * (len(CELLS) + 1)]
         methods = sorted(table[sc], key=lambda m: (m != 'Bicubic', m))
         for method in methods:
-            lines.append('| ' + method + ' | '
-                         + ' | '.join(fmt(table[sc][method])) + ' |')
+            lines.append(_fmt_row(method, table[sc][method], CELLS))
         lines.append('')
     md = '\n'.join(lines)
     with open(ns.out, 'w') as f:

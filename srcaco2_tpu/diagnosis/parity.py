@@ -145,7 +145,9 @@ def eval_pretrained_pth(pth: str, net_type: str, scale: int, cell: str,
     args = get_config(net_type)
     args['scale'] = scale
     args['n_channels'] = 1
-    args['h_size'] = {2: 96, 4: 96, 8: 128}[scale]
+    # h_size only seeds the config (eval runs full images); default to
+    # 128 for scales outside the published 2/4/8 set
+    args['h_size'] = {2: 96, 4: 96, 8: 128}.get(scale, 128)
     args['netG'][f'{net_type.lower()}_in_chans'] = 1
     if net_type == constants.DBPN:
         args['netG']['dbpn_remat_blocks'] = False
@@ -188,16 +190,18 @@ def eval_pretrained_pth(pth: str, net_type: str, scale: int, cell: str,
 # ---------------------------------------------------- markdown report
 def _fmt_row(name, per_cell, cells):
     """One Table-5-format markdown row: PSNR / NRMSE / SSIM per cell
-    plus the 3-cell means."""
+    plus the 3-cell means. The single renderer — scripts/sweep_table.py
+    imports it too; missing nrmse renders as nan rather than raising."""
+    nan = float('nan')
     vals = []
     for c in cells:
         m = per_cell.get(c)
         vals.append('—' if m is None else
-                    f"{m['psnr']:.2f} / {m['nrmse']:.4f} / "
+                    f"{m['psnr']:.2f} / {m.get('nrmse', nan):.4f} / "
                     f"{m['ssim']:.4f}")
     have = [per_cell[c] for c in cells if per_cell.get(c)]
     mean = (f"{np.mean([m['psnr'] for m in have]):.2f} / "
-            f"{np.mean([m['nrmse'] for m in have]):.4f} / "
+            f"{np.mean([m.get('nrmse', nan) for m in have]):.4f} / "
             f"{np.mean([m['ssim'] for m in have]):.4f}") if have else '—'
     return f"| {name} | " + ' | '.join(vals) + f" | {mean} |"
 
@@ -266,7 +270,8 @@ def main(argv=None):
                          'evaluate (best-models/G-model.pth)')
     ap.add_argument('--net', default=constants.SWINIR,
                     help='net_type of --pth')
-    ap.add_argument('--pth_scale', type=int, default=8)
+    ap.add_argument('--pth_scale', type=int, default=8,
+                    choices=[2, 4, 8])
     ap.add_argument('--pth_cell', default='CELL2')
     ap.add_argument('--published', default=None,
                     help="yaml overriding the published bicubic "
@@ -283,22 +288,29 @@ def main(argv=None):
             pub = yaml.safe_load(f)
 
         def parse(d):
-            return {(int(k.split(',')[0]), k.split(',')[1]): float(v)
+            return {(int(k.split(',')[0].strip()),
+                     k.split(',')[1].strip()): float(v)
                     for k, v in (d or {}).items()}
         pub_full, pub_roi = parse(pub.get('full')), parse(pub.get('roi'))
 
     results = {}
     all_pass = True
+    n_checked = 0
     for scale in [int(s) for s in ns.scales.split(',') if s]:
         chk = check_bicubic_parity(
             ns.data_root, splits, scale, tol_db=ns.tol, n=ns.n,
             cells=cells, published_full=pub_full, published_roi=pub_roi)
         results[scale] = {'bicubic': chk, 'methods': {}}
         for c, v in chk.items():
-            status = ''
             if 'pass' in v:
                 status = 'PASS' if v['pass'] else 'FAIL'
                 all_pass &= v['pass']
+                n_checked += 1
+            else:
+                # loud, not silent: metrics computed but nothing to
+                # verify against — a malformed --published key lands
+                # here, and so would a typo'd cell name
+                status = 'NO-PUBLISHED-ROW (verification skipped)'
             print(f"x{scale} {c}: bicubic full "
                   f"{v['full_psnr']:.2f} dB, roi {v['roi_psnr']:.2f} "
                   f"{status}", flush=True)
@@ -320,6 +332,12 @@ def main(argv=None):
 
     build_report(results, cells, ns.out)
     print(f'# wrote {ns.out}')
+    if n_checked == 0:
+        print('WARNING: no (scale, cell) matched a published row — '
+              'the eval-stack verification never ran. Check the '
+              '--published yaml keys ("<scale>,<cell>") and --cells.',
+              flush=True)
+        return 2
     return 0 if all_pass else 1
 
 

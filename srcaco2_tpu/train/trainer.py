@@ -44,6 +44,19 @@ def _freq_to_iters(v, steps_per_epoch: int) -> int:
     return int(v)
 
 
+def _summary_entry(perf: Dict) -> Dict:
+    """Flatten one fast_eval perf dict into the evaluate_test summary
+    row (shared by the trained-model and bicubic co-eval entries)."""
+    row = {'psnr': float(perf['full']['psnr']),
+           'ssim': float(perf['full']['ssim']),
+           'nrmse': float(perf['full']['nrmse']),
+           'n': int(perf['n']), 'time': float(perf['time'])}
+    if 'roi' in perf:
+        row['roi_psnr'] = float(perf['roi']['psnr'])
+        row['roi_ssim'] = float(perf['roi']['ssim'])
+    return row
+
+
 class Experiment:
     """Builds and holds all training components for one experiment."""
 
@@ -339,16 +352,7 @@ class Experiment:
                              int(args['eval_bsize']), constants.TESTSET,
                              save_img_dir=img_dir, current_step=step)
             log_perf(f'test/{ds.name}@{step}', perf)
-            summary[ds.name] = {
-                'psnr': float(perf['full']['psnr']),
-                'ssim': float(perf['full']['ssim']),
-                'nrmse': float(perf['full']['nrmse']),
-                'n': int(perf['n']), 'time': float(perf['time'])}
-            if 'roi' in perf:
-                summary[ds.name]['roi_psnr'] = \
-                    float(perf['roi']['psnr'])
-                summary[ds.name]['roi_ssim'] = \
-                    float(perf['roi']['ssim'])
+            summary[ds.name] = _summary_entry(perf)
             if args.get('is_master', True):
                 # per-image metric dump for offline verification
                 # (reference: details_*.yml, utils_trainer.py:253).
@@ -374,16 +378,7 @@ class Experiment:
             bperf = fast_eval(self.interp_forward, None, ds, args,
                               int(args['eval_bsize']), constants.TESTSET)
             log_perf(f'test/{ds.name}_bicubic@{step}', bperf)
-            summary[ds.name + '_bicubic'] = {
-                'psnr': float(bperf['full']['psnr']),
-                'ssim': float(bperf['full']['ssim']),
-                'nrmse': float(bperf['full']['nrmse']),
-                'n': int(bperf['n']), 'time': float(bperf['time'])}
-            if 'roi' in bperf:
-                summary[ds.name + '_bicubic']['roi_psnr'] = \
-                    float(bperf['roi']['psnr'])
-                summary[ds.name + '_bicubic']['roi_ssim'] = \
-                    float(bperf['roi']['ssim'])
+            summary[ds.name + '_bicubic'] = _summary_entry(bperf)
             T.update_tracker_eval(self.tracker, constants.TESTSET,
                                   ds.name + '_bicubic', bperf['full'],
                                   step, args['model_select_mtr'])
