@@ -366,20 +366,33 @@ def _nearest_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
 
 def register_im(ref_chw: np.ndarray, low_chw: np.ndarray, scale: int,
                 del_border: int, global_shift: bool = False,
-                pyramid: bool = True
+                pyramid: bool = True, method: Optional[str] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Register one low tile onto its HR tile (caco2_resample.py:469):
-    nearest-upscale low to HR size, per-channel dense registration
-    (iterative pyramid warp-and-refine by default; pyramid=False keeps
-    the legacy single-pass 4x4 estimate; rounded global shift when
-    global_shift), crop del_border from both, nearest-downscale the
-    registered low back to its scale.
-    Returns (low_registered_chw, hr_cropped_chw)."""
+    nearest-upscale low to HR size, per-channel dense registration,
+    crop del_border from both, nearest-downscale the registered low
+    back to its scale. Returns (low_registered_chw, hr_cropped_chw).
+
+    method selects the flow estimator: 'pyramid' (default — iterative
+    block-flow warp-and-refine, measured BETTER than TV-L1 on the
+    rigid component and ~40x cheaper, docs/QUALITY.md registration
+    bound), 'block' (legacy single-pass 4x4 estimate), or 'tvl1' (the
+    reference's exact algorithm, caco2_resample.py:441 — the
+    pure-numpy reimplementation in diagnosis/tvl1_flow.py). The legacy
+    pyramid=False bool maps to 'block' when method is unset. Rounded
+    global shift overrides any dense field when global_shift."""
+    if method is None:
+        method = 'pyramid' if pyramid else 'block'
+    if method == 'tvl1':
+        from srcaco2_tpu.diagnosis.tvl1_flow import optical_flow_tvl1
+        flow_fn = optical_flow_tvl1
+    else:
+        flow_fn = {'pyramid': _block_flow_refine,
+                   'block': _block_flow}[method]
     c, h, w = ref_chw.shape
     out = np.zeros_like(ref_chw)
     for i in range(c):
         up = _nearest_resize(low_chw[i], h, w)
-        flow_fn = _block_flow_refine if pyramid else _block_flow
         v, u = flow_fn(ref_chw[i].astype(np.float64) / 255.0,
                        up.astype(np.float64) / 255.0)
         if global_shift:
@@ -399,7 +412,8 @@ def register_im(ref_chw: np.ndarray, low_chw: np.ndarray, scale: int,
 def register_tiles(tiles_dir: str, out_dir: str, hr_size: int = 1024,
                    scales: Sequence[int] = (2, 4, 8),
                    del_border: int = 16,
-                   global_shift: bool = False) -> int:
+                   global_shift: bool = False,
+                   method: Optional[str] = None) -> int:
     """all-tiles -> all-tiles-registered (caco2_resample.py:755).
     NOTE: del_border must keep tile sizes divisible by max(scales)."""
     hr_rn = res_name(1, hr_size)
@@ -412,7 +426,7 @@ def register_tiles(tiles_dir: str, out_dir: str, hr_size: int = 1024,
             low = _imread_chw(os.path.join(
                 tiles_dir, rn, f.replace(hr_rn, rn)))
             regs[sc], ref_c = register_im(ref, low, sc, del_border,
-                                          global_shift)
+                                          global_shift, method=method)
         _imsave_chw(ref_c, os.path.join(out_dir, hr_rn, f))
         for sc in scales:
             rn = res_name(sc, hr_size)
@@ -565,7 +579,9 @@ def build_caco2_from_raw(sessions: Sequence[SessionSpec], out_root: str,
                          min_area: float = 0.2,
                          threshold: Optional[float] = 4.0,
                          n_test_tiles: int = 4, n_valid_tiles: int = 3,
-                         seed: int = 0) -> Dict[str, int]:
+                         seed: int = 0,
+                         register_method: Optional[str] = None
+                         ) -> Dict[str, int]:
     """ONE command: raw session tiles -> fixed tiles -> (registered
     tiles) -> >=min_area-cell-content patches at every scale/cell ->
     fold files. The resulting tree trains directly:
@@ -576,7 +592,7 @@ def build_caco2_from_raw(sessions: Sequence[SessionSpec], out_root: str,
         reg_dir = os.path.join(out_root, 'caco2-tiles',
                                'all-tiles-registered')
         register_tiles(tiles_dir, reg_dir, hr_size, scales, del_border,
-                       global_shift)
+                       global_shift, method=register_method)
         # resolution FOLDER names keep the raw size (reference keeps
         # HighRes1024 naming after the registration border crop)
         src = reg_dir

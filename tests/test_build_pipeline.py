@@ -145,6 +145,38 @@ def test_register_im_preserves_grid_alignment():
     assert abs(d.mean()) < 0.75, d.mean()
 
 
+def test_register_im_tvl1_method():
+    """register_im(method='tvl1') — the reference's exact registration
+    algorithm (caco2_resample.py:441 via diagnosis/tvl1_flow.py) wired
+    as a builder option — reduces a translated pair's residual like the
+    default pyramid path does."""
+    rng = np.random.default_rng(3)
+    hr = np.zeros((1, 128, 128), np.uint8)
+    yy, xx = np.mgrid[:128, :128]
+    img = np.zeros((128, 128), np.float32)
+    for _ in range(20):
+        cy, cx = rng.integers(12, 116, 2)
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 36] = 180
+    hr[0] = img
+    shifted = np.roll(np.roll(hr, 3, 1), -2, 2)
+    low = shifted[:, ::2, ::2]
+    reg, ref_c = B.register_im(hr, low, scale=2, del_border=8,
+                               method='tvl1')
+    up = np.stack([B._nearest_resize(reg[c], ref_c.shape[1],
+                                     ref_c.shape[2]) for c in range(1)])
+    before = np.stack([B._nearest_resize(low[c], ref_c.shape[1],
+                                         ref_c.shape[2])
+                       for c in range(1)])
+    err_after = np.abs(up.astype(int) - ref_c.astype(int)).mean()
+    hr_c = hr[:, 8:-8, 8:-8]
+    err_before = np.abs(before.astype(int) - hr_c.astype(int)).mean()
+    assert err_after < 0.6 * err_before, (err_after, err_before)
+    # the legacy bool still maps to the single-pass block estimate
+    reg_b, _ = B.register_im(hr, low, scale=2, del_border=8,
+                             pyramid=False)
+    assert reg_b.shape == reg.shape
+
+
 def test_registration_recovers_global_shift():
     """A pure translation between low and high acquisitions is
     recovered by register_im (global_shift mode) to <=1px."""
