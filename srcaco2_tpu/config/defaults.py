@@ -114,13 +114,26 @@ def get_config(net_type: str = constants.SWINIR) -> dict:
             # exact per-step surfacing.
             "failure_surface_lag": 32,
             # superstep: lax.scan K optimizer updates inside ONE
-            # jitted dispatch (single-chip; a mesh forces 1). Per-step
-            # semantics are preserved exactly (per-step RNG fold,
-            # per-step optimizer/EMA/skip, logging cadence — the
-            # trainer chunks so eval/save/epoch boundaries never fall
-            # inside a call). Dispatch-bound small models (VDSR-class)
-            # gain the per-dispatch overhead back K-fold.
+            # jitted dispatch (works under a mesh too — the scan body
+            # shards per step, so the gradient all-reduce still runs
+            # every optimizer update). Per-step semantics are
+            # preserved exactly (per-step RNG fold, per-step
+            # optimizer/EMA/skip, logging cadence — the trainer chunks
+            # so eval/save/epoch boundaries never fall inside a call).
+            # Dispatch-bound small models (VDSR-class) gain the
+            # per-dispatch overhead back K-fold.
             "train_steps_per_call": 8,
+            # MEASURED superstep policy under a mesh: single-chip the
+            # superstep is a proven win (docs/BENCH_ANALYSIS.md), but
+            # on the forced-host mesh K>1 measured SLOWER at every
+            # width (MULTICHIP_r04 scaling rows) and real multi-chip
+            # ICI is unmeasurable in this environment. So when a mesh
+            # is active, the trainer times a short K=spc vs K=1 probe
+            # on the real staged data at startup (state copies — the
+            # run's determinism is untouched) and falls back to K=1
+            # when it wins by >5%. Costs one extra executable compile;
+            # skipped for short runs (< 50*K remaining steps).
+            "train_superstep_probe": True,
         },
         # --------------------------------------------------- evaluation
         "test_mode": 0,       # tiled/ensembled inference: 0 normal,

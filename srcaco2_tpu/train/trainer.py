@@ -44,6 +44,17 @@ def _freq_to_iters(v, steps_per_epoch: int) -> int:
     return int(v)
 
 
+def choose_superstep(k: int, rate_k: float, rate_1: float,
+                     margin: float = 1.05) -> int:
+    """Superstep-under-mesh decision rule: keep the configured K
+    unless per-step dispatch (K=1) measures faster by more than the
+    hysteresis margin (timing noise must not flip a proven default).
+    Pure so the policy is unit-testable (tests/test_parallel.py)."""
+    if rate_1 > margin * rate_k:
+        return 1
+    return k
+
+
 def _summary_entry(perf: Dict) -> Dict:
     """Flatten one fast_eval perf dict into the evaluate_test summary
     row (shared by the trained-model and bicubic co-eval entries)."""
@@ -388,6 +399,53 @@ class Experiment:
                                       step, args['model_select_mtr'])
         return summary
 
+    # ---------------------------------------------- superstep probe
+    def _probe_superstep(self, hr_dev, lr_dev, key, n_train) -> None:
+        """Time K=steps_per_call vs K=1 under the mesh on the real
+        staged data and keep the faster dispatch (>5% hysteresis
+        toward the configured K). Runs on COPIES of the train state,
+        so the training trajectory is bit-identical with the probe on
+        or off; costs one extra executable compile (the K=1 step)."""
+        args = self.args
+        k = self.steps_per_call
+        bs = self.batch_size
+        fn1 = make_train_step(
+            self.model, self.master, self.tx, self.net_type,
+            self.pipe_cfg, e_decay=self.e_decay,
+            steps_per_epoch=self.steps_per_epoch,
+            ppiw_table=self.ppiw_table, mesh=self.mesh,
+            netG=args['netG'], steps_per_call=1)
+
+        def fresh_state():
+            return jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array)
+                else x, self.state)
+
+        def rate(fn, kk, calls):
+            idxs = (jnp.arange(kk * bs, dtype=jnp.int32) % n_train)
+            idxs = idxs.reshape(kk, bs) if kk > 1 else idxs
+            st = fresh_state()
+            st, holder, _ = fn(st, hr_dev, lr_dev, idxs, key)
+            jax.block_until_ready(holder)          # compile + warmup
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                st, holder, _ = fn(st, hr_dev, lr_dev, idxs, key)
+            jax.block_until_ready(holder)
+            return calls * kk * bs / (time.perf_counter() - t0)
+
+        calls_k = 3
+        rate_k = rate(self.train_step, k, calls_k)
+        rate_1 = rate(fn1, 1, calls_k * k)
+        chosen = choose_superstep(k, rate_k, rate_1)
+        DLLogger.log(
+            f'superstep probe (mesh '
+            f'{dict(self.mesh.shape)}): K={k} '
+            f'{rate_k:.1f} patches/s vs K=1 {rate_1:.1f} patches/s '
+            f'-> K={chosen}')
+        if chosen == 1:
+            self.steps_per_call = 1
+            self.train_step = fn1
+
     # ------------------------------------------------------------- train
     def train_valid(self):
         args = self.args
@@ -420,6 +478,19 @@ class Experiment:
         state = self.state
         epoch_losses: Dict[str, list] = {}
         last_epoch = step // spe
+
+        # measured superstep-under-mesh policy (train_superstep_probe):
+        # the single-chip superstep win is proven, but under a mesh the
+        # dispatch/collective tradeoff is hardware-dependent (the
+        # virtual-CPU mesh measures K>1 SLOWER at every width,
+        # MULTICHIP_r04) — so measure, don't assume.
+        if (self.mesh is not None and self.steps_per_call > 1
+                and bool(args['train'].get('train_superstep_probe',
+                                           True))
+                and spe >= self.steps_per_call
+                and total_steps - start_step
+                >= 50 * self.steps_per_call):
+            self._probe_superstep(hr_dev, lr_dev, key, n_train)
 
         DLLogger.log(fmsg(
             f'training {self.net_type}: {n_train} samples, '

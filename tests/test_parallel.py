@@ -147,6 +147,52 @@ def test_superstep_under_mesh_matches_per_step():
     assert int(st2.step) == 6
 
 
+def test_choose_superstep_policy():
+    """VERDICT r4 #7: the superstep-under-mesh policy is a measured
+    decision, not an assumption. Keep the configured K unless K=1
+    wins by more than the 5% hysteresis."""
+    from srcaco2_tpu.train.trainer import choose_superstep
+    assert choose_superstep(8, rate_k=1000.0, rate_1=900.0) == 8
+    assert choose_superstep(8, rate_k=1000.0, rate_1=1040.0) == 8
+    assert choose_superstep(8, rate_k=1000.0, rate_1=1051.0) == 1
+    assert choose_superstep(4, rate_k=500.0, rate_1=2000.0) == 1
+
+
+def test_superstep_probe_under_mesh(tmp_path):
+    """The startup probe times K=spc vs K=1 on the real staged data
+    under the mesh, picks one, and leaves the training state untouched
+    (it runs on donated COPIES)."""
+    import os
+    from srcaco2_tpu.config.parser import get_args
+    from srcaco2_tpu.data.synthetic import make_synthetic_dataset
+    from srcaco2_tpu.train.trainer import Experiment
+    root = str(tmp_path)
+    names = make_synthetic_dataset(root, scale=2, cell='CELL0',
+                                   n_train=16, n_val=2, n_test=2,
+                                   size=64)
+    args = get_args([
+        '--net_type', 'SRCNN', '--scale', '2', '--h_size', '32',
+        '--n_channels', '1', '--distributed', 'True',
+        '--train_dsets', names[0], '--valid_dsets', names[1],
+        '--test_dsets', names[2],
+        '--data_root', root, '--splits_root', root,
+        '--l2', 'True', '--max_epochs', '1', '--batch_size', '8',
+        '--eval_bsize', '8', '--checkpoint_eval', '1.0',
+        '--checkpoint_save', '1.0', '--train_steps_per_call', '2'])
+    args['abs_fd_exp'] = os.path.join(root, 'exp')
+    os.makedirs(args['abs_fd_exp'], exist_ok=True)
+    exp = Experiment(args)
+    assert exp.mesh is not None and exp.steps_per_call == 2
+    params_before = jax.tree_util.tree_map(np.asarray,
+                                           exp.state.params)
+    exp._probe_superstep(exp.train_ds.hr_dev, exp.train_ds.lr_dev,
+                         exp.root_key, len(exp.train_ds))
+    assert exp.steps_per_call in (1, 2)   # a measured decision was made
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(exp.state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_swinir_forward_shapes():
     from srcaco2_tpu.models.swinir import SwinIR
     model = SwinIR(in_chans=1, upscale=8, window_size=4, embed_dim=8,
