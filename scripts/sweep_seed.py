@@ -44,10 +44,13 @@ def main():
     from srcaco2_tpu.train.trainer import Experiment
     from srcaco2_tpu.utils.logger import DLLogger
 
+    import jax
+
     root = os.path.abspath(ns.root)
     exps_root = ns.exps_root or os.path.join(root, 'exps_sweep')
     t_all = time.perf_counter()
     n = 0
+    failures = []
     for net in ns.nets.split(','):
         for sc in [int(s) for s in ns.scales.split(',')]:
             for cell in ns.cells.split(','):
@@ -80,17 +83,38 @@ def main():
                 DLLogger.init(outdir=exp_dir, is_master=True,
                               verbose=False)
                 t0 = time.perf_counter()
-                exp = Experiment(args)
-                exp.train_valid()
-                with open(os.path.join(exp_dir, 'config_model.yml'),
-                          'w') as f:
-                    yaml.safe_dump(args, f)
-                n += 1
-                print(f'# [{n}] {net} x{sc} {cell}: '
-                      f'{time.perf_counter() - t0:.1f}s', flush=True)
+                # one bad config (e.g. an OOM at an unlucky
+                # net x shape) must not kill the other 161: record
+                # and move on — the sweep artifact reports failures.
+                try:
+                    exp = Experiment(args)
+                    exp.train_valid()
+                    with open(os.path.join(exp_dir,
+                                           'config_model.yml'),
+                              'w') as f:
+                        yaml.safe_dump(args, f)
+                    n += 1
+                    print(f'# [{n}] {net} x{sc} {cell}: '
+                          f'{time.perf_counter() - t0:.1f}s',
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    failures.append((net, sc, cell,
+                                     f'{type(e).__name__}: {e}'))
+                    print(f'# FAIL {net} x{sc} {cell}: '
+                          f'{type(e).__name__}: {e}', flush=True)
+                finally:
+                    exp = None
+        # per-net executable-cache reset: 18 nets x 9 shapes of jitted
+        # train/eval programs otherwise accumulate in device/host
+        # memory across the one-process sweep.
+        jax.clear_caches()
     print(f'# seeded {n} experiments in '
           f'{time.perf_counter() - t_all:.1f}s -> {exps_root}',
           flush=True)
+    if failures:
+        print(f'# {len(failures)} FAILED configs:', flush=True)
+        for net, sc, cell, msg in failures:
+            print(f'#   {net} x{sc} {cell}: {msg}', flush=True)
 
 
 if __name__ == '__main__':
