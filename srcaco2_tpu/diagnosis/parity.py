@@ -22,6 +22,7 @@ reference pretrained `.pth`, and emit a Table-5-format markdown:
 Pre-tested end-to-end on synthetic data with a fabricated published
 table (tests/test_onboarding.py), so it works first-try on real data.
 """
+import os
 from typing import Dict
 
 import numpy as np
@@ -187,6 +188,82 @@ def eval_pretrained_pth(pth: str, net_type: str, scale: int, cell: str,
     return fast_eval(fwd, params, ds, args, 8, constants.TESTSET)
 
 
+def discover_pth_checkpoints(pth_root: str):
+    """Walk a shared-trained-models tree for reference checkpoints.
+
+    The published layout (reference README "Pretrained weights":
+    shared-trained-models.tar.gz, 144 = 16 methods x 3 cells x 3
+    scales) nests each checkpoint as
+    `.../super-resolution/<NET>/caco2_train_X_<s>_in_*_cell_<CELL>/
+    <exp-id with netG_<NET>>/best-models/G-model.pth`.
+    Returns [(pth_path, net_type, scale, cell)] sorted by path;
+    net/scale/cell are parsed from the path segments (netG_ tag first,
+    method-directory fallback), unparseable hits are skipped loudly.
+    """
+    import glob
+    import re
+    by_name = {m.lower(): m for m in constants.MODELS}
+    out, skipped = [], []
+    hits = sorted(glob.glob(os.path.join(
+        pth_root, '**', 'best-models', 'G-model.pth'), recursive=True))
+    for pth in hits:
+        parts = os.path.normpath(pth).split(os.sep)
+        scale = cell = net = None
+        for seg in parts:
+            m = re.match(r'caco2_train_X_(\d+)_in_\d+_out_\d+_cell_'
+                         r'(CELL\d)$', seg)
+            if m:
+                scale, cell = int(m.group(1)), m.group(2)
+            m = re.search(r'netG_([A-Za-z0-9_]+?)-', seg)
+            if m and m.group(1).lower() in by_name:
+                net = by_name[m.group(1).lower()]
+        if net is None:     # method-directory fallback (…/<NET>/<ds>/…)
+            for seg in parts:
+                if seg.replace('-', '').lower() in by_name:
+                    net = by_name[seg.replace('-', '').lower()]
+        if net and scale and cell:
+            out.append((pth, net, scale, cell))
+        else:
+            skipped.append(pth)
+    for p in skipped:
+        print(f'!! unparseable checkpoint path skipped: {p}',
+              flush=True)
+    return out
+
+
+def eval_pth_batch(pth_root: str, data_root: str, splits_root: str,
+                   results: Dict, n: int = -1) -> Dict:
+    """Port + evaluate every discovered checkpoint; one bad port must
+    not kill the other 143, so failures are recorded per checkpoint.
+    Mutates `results` ({scale: {'bicubic', 'methods'}}) in place and
+    returns {'n_ok': int, 'failures': {label: error}}."""
+    found = discover_pth_checkpoints(pth_root)
+    print(f'# --pth_root: {len(found)} checkpoints discovered',
+          flush=True)
+    failures = {}
+    n_ok = 0
+    for pth, net, scale, cell in found:
+        label = f'{net} (ported .pth)'
+        try:
+            perf = eval_pretrained_pth(pth, net, scale, cell,
+                                       data_root, splits_root, n=n)
+        except Exception as e:  # noqa: BLE001 — keep walking
+            failures[f'{net} x{scale} {cell}'] = \
+                f'{type(e).__name__}: {e}'
+            print(f'x{scale} {cell}: {label} FAILED '
+                  f'({type(e).__name__}: {e})', flush=True)
+            continue
+        results.setdefault(scale, {'bicubic': {}, 'methods': {}})
+        results[scale]['methods'].setdefault(label, {})[cell] = {
+            'full': {k: float(x) for k, x in perf['full'].items()},
+            'roi': {k: float(x) for k, x in perf['roi'].items()}}
+        n_ok += 1
+        print(f"x{scale} {cell}: {label} full "
+              f"{perf['full']['psnr']:.2f} dB, roi "
+              f"{perf['roi']['psnr']:.2f}", flush=True)
+    return {'n_ok': n_ok, 'failures': failures}
+
+
 # ---------------------------------------------------- markdown report
 def _fmt_row(name, per_cell, cells):
     """One Table-5-format markdown row: PSNR / NRMSE / SSIM per cell
@@ -268,6 +345,11 @@ def main(argv=None):
     ap.add_argument('--pth', default=None,
                     help='reference pretrained state_dict to port + '
                          'evaluate (best-models/G-model.pth)')
+    ap.add_argument('--pth_root', default=None,
+                    help='shared-trained-models tree: discover + port '
+                         '+ evaluate EVERY .../best-models/G-model.pth '
+                         'under it in one invocation (net/scale/cell '
+                         'parsed from the published path layout)')
     ap.add_argument('--net', default=constants.SWINIR,
                     help='net_type of --pth')
     ap.add_argument('--pth_scale', type=int, default=8,
@@ -330,8 +412,20 @@ def main(argv=None):
               f"{perf['full']['psnr']:.2f} dB, roi "
               f"{perf['roi']['psnr']:.2f}", flush=True)
 
+    batch = None
+    if ns.pth_root:
+        batch = eval_pth_batch(ns.pth_root, ns.data_root, splits,
+                               results, n=ns.n)
+
     build_report(results, cells, ns.out)
     print(f'# wrote {ns.out}')
+    if batch:
+        print(f"# batch: {batch['n_ok']} checkpoints evaluated, "
+              f"{len(batch['failures'])} failed", flush=True)
+        for k, v in batch['failures'].items():
+            print(f'#   FAILED {k}: {v}', flush=True)
+        if batch['failures']:
+            return 3
     if n_checked == 0:
         print('WARNING: no (scale, cell) matched a published row — '
               'the eval-stack verification never ran. Check the '
