@@ -35,6 +35,10 @@ def main():
     ap.add_argument('--cells', default='CELL0,CELL1,CELL2')
     ap.add_argument('--epochs', type=int, default=30)
     ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--eval_bsize', type=int, default=8,
+                    help='eval batch at 512 squared; the heaviest '
+                         'nets (MemNet) need < 8 to fit eval '
+                         'activations next to the train program')
     ap.add_argument('--h_size', type=int, default=64)
     ap.add_argument('--lr', type=float, default=3e-4)
     ns = ap.parse_args()
@@ -73,7 +77,7 @@ def main():
                     '--l2', 'True',
                     '--max_epochs', str(ns.epochs),
                     '--batch_size', str(ns.batch),
-                    '--eval_bsize', '8',
+                    '--eval_bsize', str(ns.eval_bsize),
                     '--checkpoint_eval', '1.0',
                     '--checkpoint_save', '1.0',
                     '--G_optimizer_lr', str(ns.lr),
