@@ -24,6 +24,7 @@ resolution, no data-dependent control flow.
 """
 import functools
 import math
+import os
 from typing import Any, Sequence, Tuple
 
 import numpy as np
@@ -36,6 +37,21 @@ from srcaco2_tpu.models.blocks import (Conv, Upsampler, UpsamplerDirect,
                                        nchw_to_nhwc, nhwc_to_nchw)
 
 Dtype = Any
+
+
+def _ablate() -> frozenset:
+    """Measurement-only component ablations (SRCACO2_GRL_ABLATE, comma
+    separated) for scripts/grl_component_probe.py: each token replaces
+    one component with a shape-preserving identity so an in-process A/B
+    prices its step-time share (the kernel-or-refusal decision for the
+    small-token attention class, docs/BENCH_ANALYSIS.md). Never set in
+    production; tokens: win (window-attention math -> v), stripe
+    (both anchor-stripe stages -> v), anchor (skip avgpool+anchor
+    projection), cpb (skip CPB bias + logit scale), cosnorm (skip q/k
+    cosine normalization), cab (local-connection conv branch), mlp."""
+    return frozenset(
+        x for x in os.environ.get('SRCACO2_GRL_ABLATE', '').split(',')
+        if x)
 
 
 # ------------------------------------------------------- trace-time tables
@@ -128,6 +144,8 @@ class AffineTransform(nn.Module):
     @nn.compact
     def __call__(self, attn, table: np.ndarray, index: np.ndarray,
                  mask: np.ndarray = None):
+        if 'cpb' in _ablate():      # measurement-only (see _ablate)
+            return attn
         logit_scale = self.param(
             'logit_scale',
             lambda k, s: jnp.log(10.0) * jnp.ones(s, jnp.float32),
@@ -154,8 +172,11 @@ class AffineTransform(nn.Module):
 
 
 def _cosine_attn(q, k, v, transform, table, index, mask):
-    qn = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-    kn = k / jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    if 'cosnorm' in _ablate():      # measurement-only (see _ablate)
+        qn, kn = q, k
+    else:
+        qn = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+        kn = k / jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
     attn = jnp.einsum('bhnd,bhmd->bhnm', qn, kn)
     attn = transform(attn, table, index, mask)
     attn = jax.nn.softmax(attn, axis=-1)
@@ -193,10 +214,14 @@ class MixedAttention(nn.Module):
         t3 = toks.reshape(-1, n, 3, hw_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = t3[0], t3[1], t3[2]
         mask = shift_mask((h, w), ws, (shift, shift)) if shift else None
-        out_w = _cosine_attn(
-            q, k, v,
-            AffineTransform(hw_heads, dtype=self.dtype, name='affine_w'),
-            coords_table(ws), rel_index(ws), mask)
+        if 'win' in _ablate():      # measurement-only (see _ablate)
+            out_w = v
+        else:
+            out_w = _cosine_attn(
+                q, k, v,
+                AffineTransform(hw_heads, dtype=self.dtype,
+                                name='affine_w'),
+                coords_table(ws), rel_index(ws), mask)
         out_w = out_w.transpose(0, 2, 1, 3).reshape(-1, n, c // 2)
         out_w = win_rev(out_w, ws, h, w)
         if shift:
@@ -206,11 +231,6 @@ class MixedAttention(nn.Module):
         ss = tuple(self.stripe_size if self.stripe_type == 'H'
                    else self.stripe_size[::-1])
         a_ss = (ss[0] // self.df, ss[1] // self.df)
-        # anchors: avgpool down-factor + linear C -> C/2
-        pooled = nn.avg_pool(x, (self.df, self.df),
-                             strides=(self.df, self.df))
-        anchor = nn.Dense(c // 2, dtype=self.dtype,
-                          name='anchor_proj')(pooled)
         toks_s = win_part(qkv_s, ss)
         n1 = ss[0] * ss[1]
         hs_heads = self.num_heads_s
@@ -218,23 +238,36 @@ class MixedAttention(nn.Module):
         t3 = toks_s.reshape(-1, n1, 3, hs_heads,
                             hds).transpose(2, 0, 3, 1, 4)
         qs, ks, vs = t3[0], t3[1], t3[2]
-        a_toks = win_part(anchor, a_ss)
         n2 = a_ss[0] * a_ss[1]
-        a4 = a_toks.reshape(-1, n2, hs_heads, hds).transpose(0, 2, 1, 3)
-        # stage 1: anchor queries attend window keys (a2w)
-        y1 = _cosine_attn(
-            a4, ks, vs,
-            AffineTransform(hs_heads, dtype=self.dtype,
-                            name='affine_s1'),
-            coords_table(ss, self.df),
-            rel_index(ss, self.df, window_to_anchor=False), None)
-        # stage 2: window queries attend anchors (w2a)
-        y2 = _cosine_attn(
-            qs, a4, y1,
-            AffineTransform(hs_heads, dtype=self.dtype,
-                            name='affine_s2'),
-            coords_table(ss, self.df),
-            rel_index(ss, self.df, window_to_anchor=True), None)
+        _abl = _ablate()            # measurement-only (see _ablate)
+        if 'anchor' in _abl:
+            a4 = vs[:, :, :n2, :]
+        else:
+            # anchors: avgpool down-factor + linear C -> C/2
+            pooled = nn.avg_pool(x, (self.df, self.df),
+                                 strides=(self.df, self.df))
+            anchor = nn.Dense(c // 2, dtype=self.dtype,
+                              name='anchor_proj')(pooled)
+            a_toks = win_part(anchor, a_ss)
+            a4 = a_toks.reshape(-1, n2, hs_heads,
+                                hds).transpose(0, 2, 1, 3)
+        if 'stripe' in _abl:
+            y2 = vs
+        else:
+            # stage 1: anchor queries attend window keys (a2w)
+            y1 = _cosine_attn(
+                a4, ks, vs,
+                AffineTransform(hs_heads, dtype=self.dtype,
+                                name='affine_s1'),
+                coords_table(ss, self.df),
+                rel_index(ss, self.df, window_to_anchor=False), None)
+            # stage 2: window queries attend anchors (w2a)
+            y2 = _cosine_attn(
+                qs, a4, y1,
+                AffineTransform(hs_heads, dtype=self.dtype,
+                                name='affine_s2'),
+                coords_table(ss, self.df),
+                rel_index(ss, self.df, window_to_anchor=True), None)
         out_s = y2.transpose(0, 2, 1, 3).reshape(-1, n1, c // 2)
         out_s = win_rev(out_s, ss, h, w)
 
@@ -283,10 +316,13 @@ class GRLBlock(nn.Module):
                               self.stripe_type, self.df,
                               dtype=self.dtype)(x)
         attn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(attn)   # POST-norm (SwinV2)
-        if self.local_connection:
+        _abl = _ablate()            # measurement-only (see _ablate)
+        if self.local_connection and 'cab' not in _abl:
             x = x + attn + CAB(self.dim, dtype=self.dtype)(x)
         else:
             x = x + attn
+        if 'mlp' in _abl:
+            return x
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(x)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
