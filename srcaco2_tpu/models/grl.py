@@ -54,6 +54,20 @@ def _ablate() -> frozenset:
         if x)
 
 
+def _merged() -> bool:
+    """Merged-attention path toggle (SRCACO2_GRL_MERGED): rewrite the
+    per-window / per-stripe attention einsums as FULL attention over
+    2ws x 2ws token tiles with the learned CPB bias expanded
+    block-diagonally and -100 additive masking off-block — the same
+    more-MACs-for-fewer-bigger-ops trade the fused SwinIR kernel made
+    (docs/BENCH_ANALYSIS.md), at the XLA level. Numerically equal to
+    the windowed path up to e^-100 softmax leakage (~1e-43 relative,
+    tested to 1e-5 in tests/test_grl_merged.py). Applies only at
+    configs whose window/stripe geometry tiles evenly (the benchmark
+    config does); anything else falls back to the windowed path."""
+    return os.environ.get('SRCACO2_GRL_MERGED', '1') != '0'
+
+
 # ------------------------------------------------------- trace-time tables
 def _mesh_coords(hw) -> np.ndarray:
     ch, cw = np.meshgrid(np.arange(hw[0]), np.arange(hw[1]),
@@ -122,6 +136,62 @@ def shift_mask(res: Tuple[int, int], ws: Tuple[int, int],
     return np.where(d != 0, -100.0, 0.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _win_order_perm(tile: int, ws: int) -> np.ndarray:
+    """Permutation taking raster token order (tile*tile) to
+    window-contiguous order (ws x ws windows, row-major)."""
+    idx = np.arange(tile * tile).reshape(tile, tile)
+    return idx.reshape(tile // ws, ws, tile // ws, ws) \
+        .transpose(0, 2, 1, 3).reshape(-1)
+
+
+@functools.lru_cache(maxsize=16)
+def _inv_perm(tile: int, ws: int) -> np.ndarray:
+    p = _win_order_perm(tile, ws)
+    inv = np.empty_like(p)
+    inv[p] = np.arange(p.size)
+    return inv
+
+
+@functools.lru_cache(maxsize=16)
+def _merged_offblock(nb: int, n1: int, n2: int) -> np.ndarray:
+    """(nb*n1, nb*n2) additive mask: 0 on the diagonal blocks, -100
+    elsewhere (e^-100 ~ 4e-44: off-block probability mass is zero at
+    f32, matching per-window softmax to ~1e-40 relative)."""
+    m = np.full((nb, n1, nb, n2), -100.0, np.float32)
+    for i in range(nb):
+        m[i, :, i, :] = 0.0
+    return m.reshape(nb * n1, nb * n2)
+
+
+@functools.lru_cache(maxsize=16)
+def _merged_shift_masks(res: Tuple[int, int], tile: int, ws: int,
+                        shift: int) -> np.ndarray:
+    """Per-tile additive masks for the merged shifted-window path:
+    (n_tiles, tile^2, tile^2), each the block-diagonal of its tile's
+    per-window shift masks (+ -100 off-block). Tiles are raster-major
+    over the (res/tile) grid, windows raster-major within a tile —
+    matching win_part + _win_order_perm composition."""
+    h, w = res
+    base = shift_mask(res, (ws, ws), (shift, shift))  # (nw_img, n, n)
+    n = ws * ws
+    nwr = w // ws                      # windows per image row
+    r = tile // ws                     # windows per tile side
+    nb = r * r
+    th, tw = h // tile, w // tile
+    out = np.full((th * tw, nb * n, nb * n), -100.0, np.float32)
+    for ti in range(th):
+        for tj in range(tw):
+            t = ti * tw + tj
+            for bi in range(r):
+                for bj in range(r):
+                    wi = (ti * r + bi) * nwr + (tj * r + bj)
+                    b = bi * r + bj
+                    out[t, b * n:(b + 1) * n, b * n:(b + 1) * n] = \
+                        base[wi]
+    return out
+
+
 def win_part(x, ws):
     b, h, w, c = x.shape
     x = x.reshape(b, h // ws[0], ws[0], w // ws[1], ws[1], c)
@@ -143,7 +213,7 @@ class AffineTransform(nn.Module):
 
     @nn.compact
     def __call__(self, attn, table: np.ndarray, index: np.ndarray,
-                 mask: np.ndarray = None):
+                 mask: np.ndarray = None, merge=None):
         if 'cpb' in _ablate():      # measurement-only (see _ablate)
             return attn
         logit_scale = self.param(
@@ -162,6 +232,21 @@ class AffineTransform(nn.Module):
         bias = h[jnp.asarray(index.reshape(-1))]
         bias = bias.reshape(n1, n2, self.num_heads).transpose(2, 0, 1)
         bias = 16.0 * nn.sigmoid(bias)
+        if merge is not None:
+            # merged tile path (_merged): expand the per-window bias
+            # block-diagonally to the tile token count and add the
+            # static off-block / shift mask. Same params, same math —
+            # the per-window softmax becomes one tile-wide softmax
+            # whose off-block logits sit at -100.
+            nb, static = merge
+            eye = jnp.asarray(np.eye(nb, dtype=np.float32))
+            big = jnp.einsum('wv,hab->hwavb', eye, bias) \
+                .reshape(self.num_heads, nb * n1, nb * n2)
+            attn = attn + big.astype(attn.dtype)[None]
+            nt = static.shape[0]
+            m = jnp.asarray(static)[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(-1, nt, *attn.shape[1:]) + m
+            return attn.reshape(-1, *attn.shape[2:])
         attn = attn + bias.astype(attn.dtype)[None]
         if mask is not None:
             nw = mask.shape[0]
@@ -171,14 +256,14 @@ class AffineTransform(nn.Module):
         return attn
 
 
-def _cosine_attn(q, k, v, transform, table, index, mask):
+def _cosine_attn(q, k, v, transform, table, index, mask, merge=None):
     if 'cosnorm' in _ablate():      # measurement-only (see _ablate)
         qn, kn = q, k
     else:
         qn = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
         kn = k / jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
     attn = jnp.einsum('bhnd,bhmd->bhnm', qn, kn)
-    attn = transform(attn, table, index, mask)
+    attn = transform(attn, table, index, mask, merge=merge)
     attn = jax.nn.softmax(attn, axis=-1)
     return jnp.einsum('bhnm,bhmd->bhnd', attn, v)
 
@@ -201,75 +286,156 @@ class MixedAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name='qkv')(x)
         qkv_w, qkv_s = jnp.split(qkv, 2, axis=-1)   # each 3*C/2
 
-        # ---------------- window attention half ----------------
         ws = (self.window_size, self.window_size)
         shift = self.window_size // 2 if self.window_shift else 0
-        yw = qkv_w
-        if shift:
-            yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
-        toks = win_part(yw, ws)
+        ss = tuple(self.stripe_size if self.stripe_type == 'H'
+                   else self.stripe_size[::-1])
+        wsz = self.window_size
+        T = 2 * wsz
+        _abl = _ablate()            # measurement-only (see _ablate)
+        # merged tile path applies when window and stripe geometry
+        # tile evenly into 2ws x 2ws token tiles (the benchmark
+        # config: window 8, stripes (8,8), df 2); see _merged().
+        mergeable = (_merged() and not _abl
+                     and ss == (wsz, wsz)
+                     and wsz % self.df == 0
+                     and h % T == 0 and w % T == 0)
+
         n = ws[0] * ws[1]
         hw_heads = self.num_heads_w
         hd = (c // 2) // hw_heads
-        t3 = toks.reshape(-1, n, 3, hw_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = t3[0], t3[1], t3[2]
-        mask = shift_mask((h, w), ws, (shift, shift)) if shift else None
-        if 'win' in _ablate():      # measurement-only (see _ablate)
-            out_w = v
-        else:
+        if mergeable:
+            # ------------ window half, merged over 2ws tiles ------------
+            yw = qkv_w
+            if shift:
+                yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
+            toks = win_part(yw, (T, T))           # (B*nt, T*T, 3c/2)
+            perm = jnp.asarray(_win_order_perm(T, wsz))
+            inv = jnp.asarray(_inv_perm(T, wsz))
+            toks = toks[:, perm, :]
+            tt = T * T
+            nb = (T // wsz) ** 2
+            t3 = toks.reshape(-1, tt, 3, hw_heads,
+                              hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = t3[0], t3[1], t3[2]
+            if shift:
+                static = _merged_shift_masks((h, w), T, wsz, shift)
+            else:
+                static = _merged_offblock(nb, n, n)[None]
             out_w = _cosine_attn(
                 q, k, v,
                 AffineTransform(hw_heads, dtype=self.dtype,
                                 name='affine_w'),
-                coords_table(ws), rel_index(ws), mask)
-        out_w = out_w.transpose(0, 2, 1, 3).reshape(-1, n, c // 2)
-        out_w = win_rev(out_w, ws, h, w)
-        if shift:
-            out_w = jnp.roll(out_w, (shift, shift), axis=(1, 2))
+                coords_table(ws), rel_index(ws), None,
+                merge=(nb, static))
+            out_w = out_w.transpose(0, 2, 1, 3).reshape(-1, tt, c // 2)
+            out_w = win_rev(out_w[:, inv, :], (T, T), h, w)
+            if shift:
+                out_w = jnp.roll(out_w, (shift, shift), axis=(1, 2))
+        else:
+            # ---------------- window attention half ----------------
+            yw = qkv_w
+            if shift:
+                yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
+            toks = win_part(yw, ws)
+            t3 = toks.reshape(-1, n, 3, hw_heads,
+                              hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = t3[0], t3[1], t3[2]
+            mask = shift_mask((h, w), ws, (shift, shift)) if shift \
+                else None
+            if 'win' in _abl:       # measurement-only (see _ablate)
+                out_w = v
+            else:
+                out_w = _cosine_attn(
+                    q, k, v,
+                    AffineTransform(hw_heads, dtype=self.dtype,
+                                    name='affine_w'),
+                    coords_table(ws), rel_index(ws), mask)
+            out_w = out_w.transpose(0, 2, 1, 3).reshape(-1, n, c // 2)
+            out_w = win_rev(out_w, ws, h, w)
+            if shift:
+                out_w = jnp.roll(out_w, (shift, shift), axis=(1, 2))
 
         # ---------------- anchor stripe attention half ----------------
-        ss = tuple(self.stripe_size if self.stripe_type == 'H'
-                   else self.stripe_size[::-1])
         a_ss = (ss[0] // self.df, ss[1] // self.df)
-        toks_s = win_part(qkv_s, ss)
         n1 = ss[0] * ss[1]
         hs_heads = self.num_heads_s
         hds = (c // 2) // hs_heads
-        t3 = toks_s.reshape(-1, n1, 3, hs_heads,
-                            hds).transpose(2, 0, 3, 1, 4)
-        qs, ks, vs = t3[0], t3[1], t3[2]
         n2 = a_ss[0] * a_ss[1]
-        _abl = _ablate()            # measurement-only (see _ablate)
-        if 'anchor' in _abl:
-            a4 = vs[:, :, :n2, :]
-        else:
-            # anchors: avgpool down-factor + linear C -> C/2
+        if mergeable:
+            toks_s = win_part(qkv_s, (T, T))
+            perm = jnp.asarray(_win_order_perm(T, wsz))
+            inv = jnp.asarray(_inv_perm(T, wsz))
+            toks_s = toks_s[:, perm, :]
+            tt = T * T
+            nb = (T // wsz) ** 2
+            t3 = toks_s.reshape(-1, tt, 3, hs_heads,
+                                hds).transpose(2, 0, 3, 1, 4)
+            qs, ks, vs = t3[0], t3[1], t3[2]
+            # anchors, merged over the matching (T/df) anchor tiles
             pooled = nn.avg_pool(x, (self.df, self.df),
                                  strides=(self.df, self.df))
             anchor = nn.Dense(c // 2, dtype=self.dtype,
                               name='anchor_proj')(pooled)
-            a_toks = win_part(anchor, a_ss)
-            a4 = a_toks.reshape(-1, n2, hs_heads,
+            Ta = T // self.df
+            a_toks = win_part(anchor, (Ta, Ta))
+            perma = jnp.asarray(_win_order_perm(Ta, wsz // self.df))
+            a_toks = a_toks[:, perma, :]
+            a4 = a_toks.reshape(-1, nb * n2, hs_heads,
                                 hds).transpose(0, 2, 1, 3)
-        if 'stripe' in _abl:
-            y2 = vs
-        else:
-            # stage 1: anchor queries attend window keys (a2w)
             y1 = _cosine_attn(
                 a4, ks, vs,
                 AffineTransform(hs_heads, dtype=self.dtype,
                                 name='affine_s1'),
                 coords_table(ss, self.df),
-                rel_index(ss, self.df, window_to_anchor=False), None)
-            # stage 2: window queries attend anchors (w2a)
+                rel_index(ss, self.df, window_to_anchor=False), None,
+                merge=(nb, _merged_offblock(nb, n2, n1)[None]))
             y2 = _cosine_attn(
                 qs, a4, y1,
                 AffineTransform(hs_heads, dtype=self.dtype,
                                 name='affine_s2'),
                 coords_table(ss, self.df),
-                rel_index(ss, self.df, window_to_anchor=True), None)
-        out_s = y2.transpose(0, 2, 1, 3).reshape(-1, n1, c // 2)
-        out_s = win_rev(out_s, ss, h, w)
+                rel_index(ss, self.df, window_to_anchor=True), None,
+                merge=(nb, _merged_offblock(nb, n1, n2)[None]))
+            out_s = y2.transpose(0, 2, 1, 3).reshape(-1, tt, c // 2)
+            out_s = win_rev(out_s[:, inv, :], (T, T), h, w)
+        else:
+            toks_s = win_part(qkv_s, ss)
+            t3 = toks_s.reshape(-1, n1, 3, hs_heads,
+                                hds).transpose(2, 0, 3, 1, 4)
+            qs, ks, vs = t3[0], t3[1], t3[2]
+            if 'anchor' in _abl:
+                a4 = vs[:, :, :n2, :]
+            else:
+                # anchors: avgpool down-factor + linear C -> C/2
+                pooled = nn.avg_pool(x, (self.df, self.df),
+                                     strides=(self.df, self.df))
+                anchor = nn.Dense(c // 2, dtype=self.dtype,
+                                  name='anchor_proj')(pooled)
+                a_toks = win_part(anchor, a_ss)
+                a4 = a_toks.reshape(-1, n2, hs_heads,
+                                    hds).transpose(0, 2, 1, 3)
+            if 'stripe' in _abl:
+                y2 = vs
+            else:
+                # stage 1: anchor queries attend window keys (a2w)
+                y1 = _cosine_attn(
+                    a4, ks, vs,
+                    AffineTransform(hs_heads, dtype=self.dtype,
+                                    name='affine_s1'),
+                    coords_table(ss, self.df),
+                    rel_index(ss, self.df, window_to_anchor=False),
+                    None)
+                # stage 2: window queries attend anchors (w2a)
+                y2 = _cosine_attn(
+                    qs, a4, y1,
+                    AffineTransform(hs_heads, dtype=self.dtype,
+                                    name='affine_s2'),
+                    coords_table(ss, self.df),
+                    rel_index(ss, self.df, window_to_anchor=True),
+                    None)
+            out_s = y2.transpose(0, 2, 1, 3).reshape(-1, n1, c // 2)
+            out_s = win_rev(out_s, ss, h, w)
 
         out = jnp.concatenate([out_w, out_s], axis=-1)
         return nn.Dense(c, dtype=self.dtype, name='proj')(out)
