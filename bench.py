@@ -41,11 +41,15 @@ def main():
                          '-> 1533 patches/s (K=8), +1.2%%.')
     ns = ap.parse_args()
 
-    # Keep the benchmark on the bf16 softmax chain: the framework-wide
-    # default flipped to f32 softmax for quality (docs/QUALITY.md
-    # fused-vs-windowed A/B), but the throughput number tracked across
-    # rounds is defined on the bf16 chain (docs/BENCH_ANALYSIS.md).
-    os.environ.setdefault('SRCACO2_SWIN_F32_SOFTMAX', '0')
+    # Benchmark the PRODUCTION chain (f32 softmax, the framework-wide
+    # quality default since round 4). Rounds <= 4 pinned =0 here to keep
+    # the bf16 chain comparable across rounds, but the round-5 pinned
+    # re-table (docs/BENCH_ANALYSIS.md "Re-measured table") measured the
+    # f32 chain ~2% FASTER at the step level (32.17 vs 32.87 ms) - the
+    # chain the users train on is also the faster one, so the benchmark
+    # now measures exactly what main.py runs. Override with the env var
+    # to reproduce the historical bf16-chain numbers.
+    os.environ.setdefault('SRCACO2_SWIN_F32_SOFTMAX', '1')
 
     import jax
     # persistent compile cache: the flagship program takes minutes to

@@ -47,6 +47,9 @@ def main():
     scales = [int(s) for s in ns.scales.split(',') if s]
     cells = [c for c in ns.cells.split(',') if c]
 
+    from srcaco2_tpu.config.parser import enable_compile_cache
+    enable_compile_cache()
+
     DLLogger.init(outdir=None, is_master=True, verbose=True)
     from eval import evaluate_pretrained
 

@@ -44,11 +44,12 @@ def main():
     ns = ap.parse_args()
 
     from srcaco2_tpu import constants
-    from srcaco2_tpu.config.parser import get_args
+    from srcaco2_tpu.config.parser import enable_compile_cache, get_args
     from srcaco2_tpu.train.trainer import Experiment
     from srcaco2_tpu.utils.logger import DLLogger
 
     import jax
+    enable_compile_cache()
 
     root = os.path.abspath(ns.root)
     exps_root = ns.exps_root or os.path.join(root, 'exps_sweep')

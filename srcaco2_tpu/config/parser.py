@@ -210,11 +210,37 @@ def outfd(config: dict, root: Optional[str] = None) -> str:
     return fd
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, framework-wide.
+
+    The flagship programs take minutes to compile; a sweep pays 18 nets
+    x 3 scales of train+eval compiles and eval_all re-pays every eval
+    program in a fresh process. The persistent cache makes any repeat
+    (same HLO, same platform) a disk hit instead. Keyed on the traced
+    program, so env-dependent kernel variants (e.g. the f32-softmax
+    chain) cache separately and correctly. Disable with
+    SRCACO2_COMPILE_CACHE=0; override dir with SRCACO2_COMPILE_CACHE_DIR.
+    """
+    if os.environ.get('SRCACO2_COMPILE_CACHE', '1') == '0':
+        return
+    import jax
+    d = os.environ.get('SRCACO2_COMPILE_CACHE_DIR') or os.path.join(
+        os.path.expanduser('~'), '.cache', 'srcaco2_xla')
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', d)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except (OSError, AttributeError):  # read-only fs / old jax: run
+        pass                           # without the cache.
+
+
 def _setup_process(config: dict) -> dict:
     """TPU process bootstrap — replaces dist.init_process_group
     (reference: utils_parser.py:1340-1360). Multi-host initialization goes
     through jax.distributed; single-host meshes need nothing."""
     import jax
+    enable_compile_cache()
     if config['distributed'] and \
             config['dist_backend'] == constants.BACKEND_MULTIHOST:
         import jax.distributed as jdist
