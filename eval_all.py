@@ -53,7 +53,28 @@ def main():
     DLLogger.init(outdir=None, is_master=True, verbose=True)
     from eval import evaluate_pretrained
 
+    # Resume: a 162-experiment sweep runs ~1-2 h in one process; reload
+    # prior results so a crash/restart only re-pays the unfinished tail
+    # (reference analog: eval_all.sh restarts skip nothing — each of its
+    # 144 processes is all-or-nothing).
     results = {}
+    if os.path.isfile(ns.out):
+        with open(ns.out) as f:
+            results = {k: v for k, v in json.load(f).items()
+                       if isinstance(v, dict)
+                       and v.get('status') == 'ok'}
+        if results:
+            DLLogger.log(f'[eval_all] resuming: {len(results)} ok '
+                         f'experiments loaded from {ns.out}')
+
+    def dump():
+        # atomic: the sweep is long and the json is the sweep's whole
+        # artifact — never leave a half-written file.
+        tmp = ns.out + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp, ns.out)
+
     n_run = 0
     for exp in sorted(find_experiments(ns.exps_root)):
         with open(os.path.join(exp, 'config_model.yml')) as f:
@@ -70,6 +91,8 @@ def main():
             continue
         if cells and cell not in cells:
             continue
+        if exp in results:
+            continue
         DLLogger.log(fmsg(f'[{n_run}] {nt} x{sc} {cell}: {exp}'))
         try:
             summary = evaluate_pretrained(exp, ns.split)
@@ -81,9 +104,9 @@ def main():
             results[exp] = {'net': nt, 'scale': sc, 'cell': cell,
                             'status': f'error: {e}'}
         n_run += 1
+        dump()
 
-    with open(ns.out, 'w') as f:
-        json.dump(results, f, indent=2)
+    dump()
     DLLogger.log(fmsg(f'sweep done: {n_run} experiments -> {ns.out}'))
 
 
