@@ -44,20 +44,20 @@ EOF
 echo "=== tree done +$(( $(date +%s) - T0 ))s ===" >> "$LOG"
 
 seed () {  # nets epochs batch eval_bsize
-  python scripts/sweep_seed.py --root "$ROOT" \
+  python scripts/sweep_seed.py --root "$ROOT" --fast \
     --nets "$1" --epochs "$2" --batch "$3" --eval_bsize "$4" \
     >> "$LOG" 2>&1
   echo "=== tranche $1 done +$(( $(date +%s) - T0 ))s ===" >> "$LOG"
 }
 
 # T1: fast convs (compile ~4-40 s per shape)
-seed SRCNN,VDSR,DFCAN,MSLapSRN,DSRSplines 30 32 4
+seed SRCNN,VDSR,DFCAN,MSLapSRN,DSRSplines 12 32 4
 # T2: mid transformers + recursives (compile ~16-140 s)
-seed SwinIR,ENLCN,NLSN,EDSR_LIIF,CSRCNN,DRRN,OmniSR 12 32 2
+seed SwinIR,ENLCN,NLSN,EDSR_LIIF,CSRCNN,DRRN,OmniSR 8 32 2
 # T3: heavy-compile transformers + dense-connectivity (compile ~40-260 s)
-seed GRL,ProSR,ACT,DBPN,SRFBN 6 16 2
+seed GRL,ProSR,ACT,DBPN,SRFBN 5 16 2
 # T4: MemNet (heaviest: 290 s compile, 26 p/s; batch 8 / eval 1)
-seed MemNet 4 8 1
+seed MemNet 3 8 1
 
 # Phase C: ONE eval process over the whole tree (incremental + resume).
 python eval_all.py --exps_root "$ROOT/exps_sweep" \

@@ -41,7 +41,17 @@ def main():
                          'activations next to the train program')
     ap.add_argument('--h_size', type=int, default=64)
     ap.add_argument('--lr', type=float, default=3e-4)
+    ap.add_argument('--fast', action='store_true',
+                    help='sweep-scale mode: skip the per-experiment '
+                         'final test-on-best + dashboard renders '
+                         '(eval_all.py re-does the test eval) and '
+                         'periodic full checkpoints (best-models are '
+                         'still saved on validation bests) — ~15 s '
+                         'per experiment on this host, ~40 min '
+                         'across the 162-grid')
     ns = ap.parse_args()
+    if ns.fast:
+        os.environ['SRCACO2_FAST_SWEEP'] = '1'
 
     from srcaco2_tpu import constants
     from srcaco2_tpu.config.parser import enable_compile_cache, get_args
@@ -80,7 +90,8 @@ def main():
                     '--batch_size', str(ns.batch),
                     '--eval_bsize', str(ns.eval_bsize),
                     '--checkpoint_eval', '1.0',
-                    '--checkpoint_save', '1.0',
+                    '--checkpoint_save',
+                    '1000000000' if ns.fast else '1.0',
                     '--G_optimizer_lr', str(ns.lr),
                     '--plot_epoch_freq', '0'])
                 args['abs_fd_exp'] = exp_dir

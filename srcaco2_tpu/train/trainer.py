@@ -658,11 +658,20 @@ class Experiment:
             CKPT.save_checkpoint(self.exp_dir, state)
             CKPT.gc_checkpoints(self.exp_dir, int(state.step))
         self._validate(step)
-        self.evaluate_test(step, use_best=True)
+        # SRCACO2_FAST_SWEEP=1 (scripts/sweep_seed.py --fast): the
+        # 162-experiment sweep re-runs the test eval in eval_all.py and
+        # never looks at per-experiment dashboards, so the final
+        # test-on-best + matplotlib renders (~10-15 s/exp on this
+        # 1-core host = ~30 min across the grid) are pure overhead
+        # there. Normal runs keep the reference-parity final sequence.
+        fast_sweep = os.environ.get('SRCACO2_FAST_SWEEP') == '1'
+        if not fast_sweep:
+            self.evaluate_test(step, use_best=True)
         if args.get('is_master', True):
             T.save_tracker(self.tracker, self.exp_dir)
             T.save_tracker(self.roi_tracker, self.exp_dir,
                            'roi_tracker.pkl')
+        if args.get('is_master', True) and not fast_sweep:
             T.plot_tracker(self.tracker, self.exp_dir)
             if args.get('eval_over_roi_also', False):
                 T.plot_tracker(self.roi_tracker, self.exp_dir,
@@ -677,6 +686,7 @@ class Experiment:
                                  f'dashboard_{_split}.png'),
                     roi_select=bool(args.get(
                         'eval_over_roi_also_model_select', False)))
+        if args.get('is_master', True):
             total_t = time.perf_counter() - t_start
             with open(os.path.join(self.exp_dir, 'passed.txt'), 'w') as f:
                 f.write(f'done in {total_t:.1f}s\n')
