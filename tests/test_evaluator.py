@@ -54,3 +54,45 @@ def test_fast_eval_corruption_guard(ds5):
     with pytest.raises(FloatingPointError):
         fast_eval(bad_fwd, None, ds, args, eval_bsize=2,
                   split=constants.VALIDSET)
+
+
+def test_negative_ssim_guard_fast_sweep(ds5, monkeypatch):
+    """SSIM is legitimately in [-1, 1]: a finite-negative metric must
+    hard-stop under the reference-parity guard (utils_trainer.py:933)
+    but only warn in fast-sweep mode, where few-epoch smoke seeds
+    produce anticorrelated outputs without corruption. Non-finite
+    stays fatal in both modes."""
+    import srcaco2_tpu.train.evaluator as EV
+    args, ds = ds5
+    fwd = make_interpolate_forward(2, constants.INTER_BICUBIC)
+
+    real_make = EV.make_metric_fn
+
+    def neg_ssim_metric_fn(*a, **kw):
+        inner = real_make(*a, **kw)
+
+        def wrapped(e_img, h_img):
+            res = inner(e_img, h_img)
+            res['full'][constants.SSIM_MTR] = (
+                -jnp.abs(res['full'][constants.SSIM_MTR]) - 0.1)
+            return res
+        return wrapped
+
+    monkeypatch.setattr(EV, 'make_metric_fn', neg_ssim_metric_fn)
+    monkeypatch.delenv('SRCACO2_FAST_SWEEP', raising=False)
+    with pytest.raises(FloatingPointError):
+        fast_eval(fwd, None, ds, args, eval_bsize=2,
+                  split=constants.VALIDSET)
+    monkeypatch.setenv('SRCACO2_FAST_SWEEP', '1')
+    perf = fast_eval(fwd, None, ds, args, eval_bsize=2,
+                     split=constants.VALIDSET)
+    assert perf['n'] == 5
+    assert perf['full'][constants.SSIM_MTR] < 0
+
+    def nan_fwd(params, batch):
+        return jnp.full_like(batch['h_im'], jnp.nan)
+
+    # non-finite stays fatal even in fast-sweep mode
+    with pytest.raises(FloatingPointError):
+        fast_eval(nan_fwd, None, ds, args, eval_bsize=2,
+                  split=constants.VALIDSET)
