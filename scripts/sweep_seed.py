@@ -49,6 +49,14 @@ def main():
                          'still saved on validation bests) — ~15 s '
                          'per experiment on this host, ~40 min '
                          'across the 162-grid')
+    ap.add_argument('--final_eval_only', action='store_true',
+                    help='skip mid-train validations entirely: the '
+                         "trainer's final _validate is then the first "
+                         'eval, fires the best-model save, and costs '
+                         'ONE eval per experiment — the minimum that '
+                         'still leaves eval_all a checkpoint to score. '
+                         'For attention nets at x2 (256-square inputs) '
+                         'the per-epoch eval dominates the seed cost.')
     ns = ap.parse_args()
     if ns.fast:
         os.environ['SRCACO2_FAST_SWEEP'] = '1'
@@ -89,7 +97,8 @@ def main():
                     '--max_epochs', str(ns.epochs),
                     '--batch_size', str(ns.batch),
                     '--eval_bsize', str(ns.eval_bsize),
-                    '--checkpoint_eval', '1.0',
+                    '--checkpoint_eval',
+                    '1000000000' if ns.final_eval_only else '1.0',
                     '--checkpoint_save',
                     '1000000000' if ns.fast else '1.0',
                     '--G_optimizer_lr', str(ns.lr),
