@@ -1,10 +1,15 @@
 #!/bin/bash
 # Continuation of scripts/sweep162.sh with the measured pace
-# corrections: --final_eval_only (one validation per experiment — the
-# per-epoch 256-square evals dominated attention-net seeds at x2) and
-# an eval_bsize-1 repair tranche for SwinIR x2 (the 256-square eval
-# program OOMs HLO temp at bsize 2). Completed experiments are skipped
-# via passed.txt, so this is safe to re-run from any interruption.
+# corrections:
+#  - --final_eval_only: one validation per experiment (the per-epoch
+#    256-square evals dominated attention-net seeds at x2);
+#  - SCALE-MAJOR order (x4 -> x8 -> x2): a deadline cutoff then leaves
+#    every method with its x4 row rather than some methods with
+#    nothing — graceful degradation of the grid artifact;
+#  - eval_bsize 1 for SwinIR (the x2 256-square eval program OOMs HLO
+#    temp at bsize 2).
+# Completed experiments are skipped via passed.txt, so this is safe to
+# re-run from any interruption; eval_all resumes incrementally.
 #
 # Usage: bash scripts/sweep162b.sh [ROOT]
 set -u
@@ -16,22 +21,19 @@ cd "$REPO"
 echo "=== sweep162b start $(date +%s) ===" >> "$LOG"
 T0=$(date +%s)
 
-seed () {  # nets epochs batch eval_bsize [extra args...]
-  local nets="$1" epochs="$2" batch="$3" ebs="$4"; shift 4
+seed () {  # nets scales epochs batch eval_bsize
   python scripts/sweep_seed.py --root "$ROOT" --fast --final_eval_only \
-    --nets "$nets" --epochs "$epochs" --batch "$batch" \
-    --eval_bsize "$ebs" "$@" >> "$LOG" 2>&1
-  echo "=== tranche $nets done +$(( $(date +%s) - T0 ))s ===" >> "$LOG"
+    --nets "$1" --scales "$2" --epochs "$3" --batch "$4" \
+    --eval_bsize "$5" >> "$LOG" 2>&1
+  echo "=== tranche $1 x$2 done +$(( $(date +%s) - T0 ))s ===" >> "$LOG"
 }
 
-# T2 remainder (SwinIR non-x2 already passed; skip logic handles it)
-seed ENLCN,NLSN,EDSR_LIIF,CSRCNN,DRRN,OmniSR 6 32 2
-# T3: heavy-compile transformers + dense-connectivity
-seed GRL,ProSR,ACT,DBPN,SRFBN 4 16 2
-# T4: MemNet
-seed MemNet 3 8 1
-# Repair: SwinIR x2 at eval_bsize 1 (+ the x4 CELL1 guard casualty)
-seed SwinIR 6 32 1
+for SC in 4 8 2; do
+  seed ENLCN,NLSN,EDSR_LIIF,CSRCNN,DRRN,OmniSR "$SC" 6 32 2
+  seed SwinIR "$SC" 6 32 1
+  seed GRL,ProSR,ACT,DBPN,SRFBN "$SC" 4 16 2
+  seed MemNet "$SC" 3 8 1
+done
 
 # ONE eval process over the whole tree (incremental + resume).
 python eval_all.py --exps_root "$ROOT/exps_sweep" \
