@@ -74,9 +74,21 @@ def main():
     t_all = time.perf_counter()
     n = 0
     failures = []
+    stopfile = os.path.join(root, 'STOP')
     for net in ns.nets.split(','):
         for sc in [int(s) for s in ns.scales.split(',')]:
             for cell in ns.cells.split(','):
+                # graceful pause point: killing a TPU client mid-op
+                # wedges the device grant until the far-end lease
+                # expires (minutes) — touch <root>/STOP instead and
+                # the sweep exits cleanly at the next boundary.
+                if os.path.isfile(stopfile):
+                    print(f'# STOP file present ({stopfile}); '
+                          f'exiting cleanly', flush=True)
+                    print(f'# seeded {n} experiments (stopped) in '
+                          f'{time.perf_counter() - t_all:.1f}s',
+                          flush=True)
+                    return 'stopped'
                 tr = constants.caco2_name(constants.TRAINSET, sc, cell)
                 va = constants.caco2_name(constants.VALIDSET, sc, cell)
                 te = constants.caco2_name(constants.TESTSET, sc, cell)
